@@ -1,0 +1,175 @@
+package graft.index
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analyze.Tokenizer
+import graft.codec.PostingCodec
+import graft.query.Bm25
+
+/** Distributed inverted-index build — the batch analog of the reference's
+  * `add` path (/root/reference/include/usearch/index.hpp:2780-2880),
+  * re-expressed as declarative Dataset ops so Catalyst plans the shuffles:
+  *
+  *   corpus ── tokenize/explode ──► groupBy(docId, term) ──► tf  [shuffle 1]
+  *   tf     ── groupBy(docId)  ──► docLens (norms)               [shuffle 2]
+  *   tf⋈dl  ── groupBy(term, bucket) ──► posting rows            [shuffle 3]
+  *          ── delta+varbyte blocks + block-max ──► Parquet segments
+  *
+  * The docId-range `bucket` is the unit of parallelism, pruning, and skew
+  * control: hot terms are split across every bucket (storage salting —
+  * SURVEY.md §7.5.2 — the math is untouched) and query-time pruning reads
+  * only buckets containing query terms.
+  *
+  * Each stage persists to Parquet and writes a commit marker + manifest
+  * row; a re-run skips committed stages (checkpoint-resume with lineage +
+  * metrics, per the north rule). All stages are deterministic functions of
+  * the corpus — independent of parallelism and task order.
+  */
+object IndexBuilder {
+
+  /** Layout under the index root (Iceberg-style: data + manifests;
+    * hand-rolled — no Iceberg jar offline, SURVEY.md §7.0).
+    */
+  final case class Layout(root: String) {
+    def tokens: String = s"$root/tokens"
+    def segments: String = s"$root/segments"
+    def doclens: String = s"$root/doclens"
+    def dict: String = s"$root/dict"
+    def stats: String = s"$root/stats"
+    def manifest: String = s"$root/manifest"
+    def statusFile(stage: String): java.nio.file.Path =
+      Paths.get(root, s"_committed_$stage")
+  }
+
+  def build(
+      spark: SparkSession,
+      corpus: DataFrame,
+      root: String,
+      idCol: String = "doc_id",
+      textCol: String = "content",
+      targetBuckets: Int = 0): IndexStats = {
+    import spark.implicits._
+    val layout = Layout(root)
+    Files.createDirectories(Paths.get(root))
+    val snapshotId = 1L
+    val manifests = scala.collection.mutable.ArrayBuffer.empty[ManifestRow]
+
+    def committed(stage: String): Boolean = Files.exists(layout.statusFile(stage))
+    def commit(stage: String, rows: Long, t0: Long): Unit = {
+      manifests += ManifestRow(snapshotId, stage, -1, stage, rows,
+        (System.nanoTime() - t0) / 1000000L, "committed")
+      Files.writeString(layout.statusFile(stage), s"rows=$rows")
+    }
+
+    val nDocs = corpus.count()
+    val buckets =
+      if (targetBuckets > 0) targetBuckets
+      else math.max(1, math.min(spark.sparkContext.defaultParallelism, (nDocs / 64L).toInt + 1))
+    val bucketSize = math.max(1L, (nDocs + buckets - 1) / buckets)
+
+    // ---- stage 1: tf table (doc_id, term, tf) -------------------------
+    if (!committed("tokens")) {
+      val t0 = System.nanoTime()
+      corpus
+        .select(col(idCol).as("doc_id"), explode(Tokenizer.tokensCol(col(textCol))).as("term"))
+        .groupBy($"doc_id", $"term")
+        .agg(count(lit(1)).as("tf"))
+        .write.mode(SaveMode.Overwrite).parquet(layout.tokens)
+      commit("tokens", -1L, t0)
+    }
+    val tf = spark.read.parquet(layout.tokens)
+
+    // ---- stage 2: doc lengths (norms), bucketed -----------------------
+    if (!committed("doclens")) {
+      val t0 = System.nanoTime()
+      tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+        .withColumn("bucket", (col("doc_id") / bucketSize).cast("int"))
+        .as[(Long, Long, Int)]
+        .groupByKey(_._3)
+        .mapGroups { (bucket, it) =>
+          val arr = it.toArray.sortBy(_._1)
+          DocLenRow(bucket, arr.map(_._1), arr.map(_._2))
+        }
+        .write.mode(SaveMode.Overwrite).parquet(layout.doclens)
+      commit("doclens", nDocs, t0)
+    }
+    def dlFlat: DataFrame = spark.read.parquet(layout.doclens).as[DocLenRow]
+      .flatMap(r => r.docIds.zip(r.lens)).toDF("doc_id", "dl")
+
+    // ---- stage 3: stats + dictionary ----------------------------------
+    if (!committed("dict")) {
+      val t0 = System.nanoTime()
+      val totalTokens = spark.read.parquet(layout.doclens).as[DocLenRow]
+        .flatMap(_.lens).reduce(_ + _)
+      val avgdl = totalTokens.toDouble / nDocs.toDouble
+      tf.join(dlFlat, "doc_id")
+        .select($"term", $"tf", $"dl")
+        .as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (term, it) =>
+          var df = 0L
+          var mx = 0.0
+          it.foreach { case (_, f, dl) =>
+            df += 1
+            val n = Bm25.tfNorm(f.toInt, dl, avgdl)
+            if (n > mx) mx = n
+          }
+          DictRow(term, df, mx)
+        }
+        .write.mode(SaveMode.Overwrite).parquet(layout.dict)
+
+      val d = spark.read.parquet(layout.dict).as[DictRow]
+      val nTerms = d.count()
+      val totalPostings = d.map(_.df).reduce(_ + _)
+      val stats = IndexStats(nDocs, totalTokens, nTerms, totalPostings, bucketSize, buckets)
+      Seq(stats).toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(layout.stats)
+      commit("dict", nTerms, t0)
+    }
+    val stats = spark.read.parquet(layout.stats).as[IndexStats].head()
+    val avgdl = stats.avgdl
+
+    // ---- stage 4: posting segments, bucketed + block-encoded ----------
+    if (!committed("segments")) {
+      val t0 = System.nanoTime()
+      tf.join(dlFlat, "doc_id")
+        .withColumn("bucket", (col("doc_id") / stats.bucketSize).cast("int"))
+        .select($"term", $"bucket", $"doc_id", $"tf", $"dl")
+        .as[(String, Int, Long, Long, Long)]
+        .groupByKey(r => (r._1, r._2))
+        .mapGroups { (key: (String, Int), it: Iterator[(String, Int, Long, Long, Long)]) =>
+          val (term, bucket) = key
+          val arr = it.toArray.sortBy(_._3)
+          val docIds = arr.map(_._3)
+          val tfs = arr.map(_._4.toInt)
+          val lens = arr.map(_._5)
+          val norms = Array.tabulate(docIds.length)(i => Bm25.tfNorm(tfs(i), lens(i), avgdl))
+          val blocks = PostingCodec
+            .encodeBlocks(docIds, tfs, i => norms(i))
+            .map(b => EncBlock(b.firstDocId, b.lastDocId, b.count, b.maxTfNorm, b.bytes))
+          PostingRow(term, bucket, docIds.length.toLong, norms.max, blocks)
+        }
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("term"))
+        .write
+        .mode(SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(layout.segments)
+      commit("segments", stats.totalPostings, t0)
+    }
+
+    // ---- manifest (lineage + metrics) ---------------------------------
+    if (manifests.nonEmpty) {
+      val existing =
+        if (Files.exists(Paths.get(layout.manifest)))
+          spark.read.parquet(layout.manifest).as[ManifestRow].collect().toSeq
+        else Seq.empty
+      val all = existing ++ manifests
+      all.toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(layout.manifest)
+    }
+
+    stats
+  }
+}

@@ -1,0 +1,258 @@
+package graft.index
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analyze.Tokenizer
+import graft.codec.PostingCodec
+import graft.query.Bm25
+
+/** Distributed top-k BM25 search over the bucketed inverted index.
+  *
+  * Query plan (the Spark rendering of the reference's scatter-gather
+  * multi-shard search, /root/reference/python/lib.cpp:330-402 +
+  * `merge_into` /root/reference/include/usearch/index.hpp:2650-2670):
+  *
+  *   1. tokenize query → sorted unique terms
+  *   2. dictionary lookup (tiny filtered Parquet read) → idf + term UBs
+  *   3. postings scan pruned by `term IN (...)` pushdown; collect the
+  *      distinct buckets touched (ids only) → doclen read pruned to those
+  *      bucket partitions
+  *   4. per-bucket WAND (doc-at-a-time, term-UB pivoting, block skipping)
+  *      inside `cogroup` — emits each bucket's top-k
+  *   5. global ordered merge: orderBy(score desc, docId asc).limit(k)
+  *      (Catalyst `TakeOrderedAndProject` = partial top-k + final merge)
+  *
+  * `exact = true` disables pruning (θ stays -∞) but keeps the identical
+  * accumulation order, so exact and WAND results are bit-identical —
+  * mirrors `index_search_config_t.exact`
+  * (/root/reference/include/usearch/index.hpp:1436-1437).
+  */
+final class Searcher(spark: SparkSession, root: String) extends Serializable {
+  import spark.implicits._
+
+  private val layout = IndexBuilder.Layout(root)
+  val stats: IndexStats = spark.read.parquet(layout.stats).as[IndexStats].head()
+
+  /** (term, idf, globalMaxTfNorm) for terms present in the dictionary. */
+  private def lookupTerms(terms: Array[String]): Array[(String, Double, Double)] = {
+    if (terms.isEmpty) return Array.empty
+    val n = stats.nDocs
+    spark.read.parquet(layout.dict).as[DictRow]
+      .where($"term".isin(terms.toSeq: _*))
+      .collect()
+      .map(d => (d.term, Bm25.idf(d.df, n), d.maxTfNorm))
+      .sortBy(_._1)
+  }
+
+  /** Top-k search. Returns DataFrame(doc_id: Long, score: Double) ordered
+    * (score desc, doc_id asc), exactly k rows or fewer.
+    *
+    * `allow`: optional doc-level predicate applied *during* scoring (the
+    * `filtered_search` analog,
+    * /root/reference/include/usearch/index_dense.hpp:774-779) — non-
+    * matching docs never enter the top-k buffer, so ranks come from the
+    * filtered set, not a post-filter of unfiltered top-k.
+    */
+  def search(
+      query: String,
+      k: Int,
+      exact: Boolean = false,
+      allow: Option[Long => Boolean] = None): DataFrame = {
+    val qTerms = Tokenizer.tokenize(query).distinct.sorted
+    val dictHits = lookupTerms(qTerms)
+    if (dictHits.isEmpty)
+      return spark.emptyDataset[Hit].toDF("doc_id", "score")
+
+    val termList = dictHits.map(_._1).toSeq
+    val idfByTerm = dictHits.map(t => (t._1, t._2)).toMap
+
+    val postings = spark.read.parquet(layout.segments).as[PostingRow]
+      .where($"term".isin(termList: _*))
+
+    // partition pruning: read norms only for buckets that hold query terms
+    val touchedBuckets = postings.select($"bucket").distinct().as[Int].collect()
+    if (touchedBuckets.isEmpty)
+      return spark.emptyDataset[Hit].toDF("doc_id", "score")
+    val doclens = spark.read.parquet(layout.doclens).as[DocLenRow]
+      .where($"bucket".isin(touchedBuckets.toSeq: _*))
+
+    val idfB = spark.sparkContext.broadcast(idfByTerm)
+    val allowB = spark.sparkContext.broadcast(allow)
+    val kLocal = k
+    val exactLocal = exact
+    val avgdlLocal = stats.avgdl
+
+    val perBucket = postings
+      .groupByKey(_.bucket)
+      .cogroup(doclens.groupByKey(_.bucket)) { (_, posts, lens) =>
+        val lensArr = lens.toArray
+        if (lensArr.isEmpty) Iterator.empty
+        else {
+          val dl = lensArr.head
+          Searcher.wandBucket(
+            posts.toArray, dl, idfB.value, avgdlLocal, kLocal, exactLocal, allowB.value)
+        }
+      }
+
+    perBucket
+      .toDF("doc_id", "score")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Exact search convenience (full scoring, no pruning). */
+  def searchExact(query: String, k: Int): DataFrame = search(query, k, exact = true)
+}
+
+object Searcher {
+
+  /** Cursor over one term's encoded blocks within a bucket. */
+  private final class Cursor(
+      val term: String,
+      val idf: Double,
+      row: PostingRow) {
+    val ub: Double = idf * row.maxTfNorm // bucket-local term upper bound
+    private val blocks = row.blocks
+    private var blockIdx = 0
+    private var decoded: graft.codec.Postings = _
+    private var pos = 0
+    var curDoc: Long = -1L
+    var curTf: Int = 0
+    var exhausted: Boolean = blocks.isEmpty
+    if (!exhausted) { loadBlock(); advancePos() }
+
+    private def loadBlock(): Unit = {
+      decoded = PostingCodec.decodeBlock(blocks(blockIdx).bytes)
+      pos = -1
+    }
+
+    private def advancePos(): Unit = {
+      pos += 1
+      if (pos >= decoded.size) {
+        blockIdx += 1
+        if (blockIdx >= blocks.length) { exhausted = true; curDoc = Long.MaxValue }
+        else { loadBlock(); advancePos() }
+      } else {
+        curDoc = decoded.docIds(pos)
+        curTf = decoded.tfs(pos)
+      }
+    }
+
+    def next(): Unit = if (!exhausted) advancePos()
+
+    /** Seek to the first posting with docId >= target, skipping whole
+      * blocks via their [first,last] bounds (the varbyte blocks are never
+      * decoded when skipped — the I/O-skip contract of block-max WAND).
+      */
+    def seek(target: Long): Unit = {
+      if (exhausted || curDoc >= target) return
+      while (blockIdx < blocks.length && blocks(blockIdx).last < target) {
+        blockIdx += 1
+        pos = -1
+        decoded = null
+      }
+      if (blockIdx >= blocks.length) { exhausted = true; curDoc = Long.MaxValue; return }
+      if (decoded == null) loadBlock()
+      if (pos < 0) advancePos()
+      while (!exhausted && curDoc < target) advancePos()
+    }
+  }
+
+  /** Bounded top-k buffer ordered (score desc, docId asc) — the
+    * `sorted_buffer_gt` analog
+    * (/root/reference/include/usearch/index.hpp:842-967).
+    */
+  private final class TopK(k: Int) {
+    private val ord: Ordering[Hit] = Ordering.by(h => (-h.score, h.docId))
+    // max-heap on the ordering's "worst" element: keep the k best
+    private val heap = new mutable.PriorityQueue[Hit]()(ord)
+    def threshold: Double = if (heap.size < k) Double.NegativeInfinity else heap.head.score
+    def offer(docId: Long, score: Double): Unit = {
+      val h = Hit(docId, score)
+      if (heap.size < k) heap.enqueue(h)
+      else if (ord.lt(h, heap.head)) { heap.dequeue(); heap.enqueue(h) }
+    }
+    def result: Iterator[Hit] = heap.iterator
+  }
+
+  /** Doc-at-a-time WAND over one bucket. Deterministic: scoring sums terms
+    * in sorted-term order; skipping uses `Σ UB >= θ` (not `>`), so a doc
+    * whose score ties θ is always scored and the (score desc, docId asc)
+    * tiebreak stays exact.
+    */
+  def wandBucket(
+      rows: Array[PostingRow],
+      doclen: DocLenRow,
+      idfByTerm: Map[String, Double],
+      avgdl: Double,
+      k: Int,
+      exact: Boolean,
+      allow: Option[Long => Boolean]): Iterator[Hit] = {
+    // cursors in fixed sorted-term order → deterministic accumulation
+    val byTerm = rows.sortBy(_.term)
+    val cursors = byTerm.map(r => new Cursor(r.term, idfByTerm(r.term), r))
+    if (cursors.isEmpty) return Iterator.empty
+
+    // docId → docLen within this bucket (ascending arrays → binary search)
+    val dIds = doclen.docIds
+    val dLens = doclen.lens
+    def lenOf(docId: Long): Long = {
+      val i = java.util.Arrays.binarySearch(dIds, docId)
+      dLens(i)
+    }
+
+    val topk = new TopK(k)
+    val live = mutable.ArrayBuffer(cursors: _*)
+
+    while (live.nonEmpty) {
+      live.filterInPlace(!_.exhausted)
+      if (live.nonEmpty) {
+        val sorted = live.sortBy(_.curDoc)
+        val theta = if (exact) Double.NegativeInfinity else topk.threshold
+        // pivot: smallest prefix whose Σ UB could reach θ (>= keeps ties)
+        var acc = 0.0
+        var pivot = -1
+        var i = 0
+        while (pivot < 0 && i < sorted.length) {
+          acc += sorted(i).ub
+          if (acc >= theta) pivot = i
+          i += 1
+        }
+        if (pivot < 0) {
+          live.clear() // nothing remaining can enter the top-k
+        } else {
+          val pivotDoc = sorted(pivot).curDoc
+          if (sorted.head.curDoc == pivotDoc) {
+            // all cursors before pivot sit on pivotDoc → score it fully
+            if (allow.forall(_(pivotDoc))) {
+              val dl = lenOf(pivotDoc)
+              var s = 0.0
+              // fixed term order: `cursors` (sorted by term), not `sorted`
+              var c = 0
+              while (c < cursors.length) {
+                val cur = cursors(c)
+                if (!cur.exhausted && cur.curDoc == pivotDoc)
+                  s += cur.idf * Bm25.tfNorm(cur.curTf, dl, avgdl)
+                c += 1
+              }
+              topk.offer(pivotDoc, s)
+            }
+            var c = 0
+            while (c < cursors.length) {
+              val cur = cursors(c)
+              if (!cur.exhausted && cur.curDoc == pivotDoc) cur.next()
+              c += 1
+            }
+          } else {
+            // advance the leading cursor up to the pivot document
+            sorted.head.seek(pivotDoc)
+          }
+        }
+      }
+    }
+    topk.result
+  }
+}

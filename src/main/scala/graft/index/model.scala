@@ -1,0 +1,69 @@
+package graft.index
+
+/** Storage model of the inverted index — the Spark-native replacement for
+  * the reference's serialized graph+vectors format
+  * (/root/reference/include/usearch/index_dense.hpp:29-79,
+  * /root/reference/docs/format.md:32-87): Parquet segment files + small
+  * metadata tables, Iceberg-style (hand-rolled manifests; no Iceberg jar
+  * offline — SURVEY.md §7.0).
+  */
+
+/** One encoded 128-posting block (delta+varbyte) with its block-max
+  * tf-normalization summary for WAND pruning.
+  */
+final case class EncBlock(
+    first: Long,
+    last: Long,
+    count: Int,
+    maxTfNorm: Double,
+    bytes: Array[Byte])
+
+/** Postings of one term restricted to one docId bucket. The bucket split
+  * IS the skew treatment: a hot term ("def", "import") spreads across
+  * every bucket, so no single task owns its whole posting list — the
+  * storage is salted, the math untouched (SURVEY.md §7.5.2).
+  */
+final case class PostingRow(
+    term: String,
+    bucket: Int,
+    df: Long, // df of the term within this bucket
+    maxTfNorm: Double, // max over this row's blocks (bucket-local UB)
+    blocks: Array[EncBlock])
+
+/** Per-bucket document norms (the Lucene-norms analog): docIds ascending,
+  * parallel token counts. Co-partitioned with PostingRow by bucket.
+  */
+final case class DocLenRow(bucket: Int, docIds: Array[Long], lens: Array[Long])
+
+/** Dictionary: global df and global max tf-norm per term (WAND term UB). */
+final case class DictRow(term: String, df: Long, maxTfNorm: Double)
+
+/** Index-wide scalars (the `stats()` analog,
+  * /root/reference/include/usearch/index.hpp:3133-3210).
+  */
+final case class IndexStats(
+    nDocs: Long,
+    totalTokens: Long,
+    nTerms: Long,
+    totalPostings: Long,
+    bucketSize: Long,
+    nBuckets: Int) {
+  def avgdl: Double = totalTokens.toDouble / nDocs.toDouble
+}
+
+/** Iceberg-style manifest row: lineage + metrics per build stage/partition
+  * (north rule: checkpoint-resumable with per-partition lineage + metrics).
+  */
+final case class ManifestRow(
+    snapshotId: Long,
+    stage: String,
+    partitionId: Int,
+    path: String,
+    rows: Long,
+    elapsedMs: Long,
+    status: String)
+
+/** A single ranked search hit; results are totally ordered
+  * (score desc, docId asc) so parallelism cannot change ranks.
+  */
+final case class Hit(docId: Long, score: Double)

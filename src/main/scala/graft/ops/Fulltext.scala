@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analyze.Tokenizer
+import graft.index.{IndexBuilder, Searcher}
+
+/** Fulltext / BM25 operators over the `documents` testdata table — the
+  * north rule's core semantics expressed twice:
+  *   - declarative Catalyst plans (tf/df/avgdl/bm25 via groupBy + join),
+  *     checked value-for-value against a DuckDB SQL oracle, and
+  *   - the engine path (`engBm25TopK`): bucketed segments + block-max
+  *     WAND, checked against the *same* SQL oracle — the custom physical
+  *     operator must reproduce declarative SQL exactly.
+  */
+object Fulltext {
+
+  /** Fixed reference query for the oracle-checked entries. */
+  final val RefQuery: Seq[String] = Seq("spark", "merge", "dup")
+  final val K = 10
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** (doc_id, term, tf) — the tokenize→explode→agg stage. */
+  def tfTable(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(Tokenizer.tokensCol(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(col("doc_id"), col("term"))
+
+  val tfTableSql: String =
+    s"""SELECT doc_id, term, count(*) AS tf
+       |FROM (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents)
+       |GROUP BY doc_id, term
+       |ORDER BY doc_id, term""".stripMargin
+
+  /** (term, df) document frequencies. */
+  def dfTable(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(Tokenizer.tokensCol(col("text"))).as("term"))
+      .distinct()
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("term"))
+
+  val dfTableSql: String =
+    s"""SELECT term, count(*) AS df
+       |FROM (SELECT DISTINCT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents)
+       |GROUP BY term
+       |ORDER BY term""".stripMargin
+
+  /** Corpus scalars: n docs, total tokens, avgdl. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val tf = docs(spark, dir)
+      .select(col("doc_id"), explode(Tokenizer.tokensCol(col("text"))).as("term"))
+    tf.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("total_tokens"),
+      (count(lit(1)).cast("double") / countDistinct(col("doc_id")).cast("double")).as("avgdl"))
+  }
+
+  val corpusStatsSql: String =
+    s"""SELECT count(DISTINCT doc_id) AS n_docs, count(*) AS total_tokens,
+       |  CAST(count(*) AS DOUBLE) / CAST(count(DISTINCT doc_id) AS DOUBLE) AS avgdl
+       |FROM (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // BM25 top-k — declarative Catalyst version
+  // ------------------------------------------------------------------
+
+  /** BM25 (k1=1.2, b=0.75) top-k as a pure Catalyst plan: tf ⋈ df ⋈ dl
+    * with the scalars injected as literals, `TakeOrderedAndProject` doing
+    * the distributed top-k merge. Scores rounded to 4 dp for the
+    * cross-engine hash compare (double accumulation order differs).
+    */
+  def bm25TopK(
+      spark: SparkSession,
+      dir: String,
+      queryTerms: Seq[String] = RefQuery,
+      k: Int = K,
+      langFilter: Option[String] = None): DataFrame = {
+    val base0 = docs(spark, dir)
+    val base = langFilter.map(l => base0.where(col("lang") === l)).getOrElse(base0)
+    val tok = base
+      .select(col("doc_id"), explode(Tokenizer.tokensCol(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val nDocs = base.agg(count(lit(1))).head().getLong(0)
+    val totalTokens = tf.agg(sum(col("tf"))).head().getLong(0)
+    val avgdl = totalTokens.toDouble / nDocs.toDouble
+
+    val terms = queryTerms.distinct.sorted
+    val df = tf.where(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    tf.where(col("term").isin(terms: _*))
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      // scalars injected via string→double casts: a bare decimal literal
+      // would parse as DecimalType in Spark SQL and change the math
+      .withColumn("part_score",
+        expr(graft.query.Bm25.sqlScore(
+          "tf", "df", "dl", s"CAST($nDocs AS DOUBLE)", s"CAST('$avgdl' AS DOUBLE)")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("part_score")).as("score_raw"))
+      .orderBy(desc("score_raw"), asc("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
+  }
+
+  /** DuckDB oracle for [[bm25TopK]] — same math, scalars via subqueries. */
+  def bm25TopKSql(
+      queryTerms: Seq[String] = RefQuery,
+      k: Int = K,
+      langFilter: Option[String] = None): String = {
+    val terms = queryTerms.distinct.sorted
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val where = langFilter.map(l => s"WHERE lang = '$l'").getOrElse("")
+    s"""WITH base AS (SELECT * FROM documents $where),
+       |tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM base),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT CAST((SELECT count(*) FROM base) AS DOUBLE) AS n,
+       |              CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / CAST((SELECT count(*) FROM base) AS DOUBLE) AS avgdl),
+       |dfq AS (SELECT term, count(*) AS df FROM tf WHERE term IN ($termList) GROUP BY 1),
+       |scores AS (
+       |  SELECT tf.doc_id,
+       |         sum(${graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")}) AS score_raw
+       |  FROM tf
+       |  JOIN dfq USING (term)
+       |  JOIN dl USING (doc_id)
+       |  CROSS JOIN st
+       |  WHERE tf.term IN ($termList)
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, round(score_raw, 4) AS score
+       |FROM scores
+       |ORDER BY score_raw DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // BM25 top-k — engine path (segments + block-max WAND)
+  // ------------------------------------------------------------------
+
+  /** Build (or reuse) the engine index for a testdata dir. The index is
+    * cached on disk keyed by the dir name — rebuilds are resume-no-ops.
+    */
+  def indexFor(spark: SparkSession, dir: String): Searcher = {
+    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val root = s"${sys.props("java.io.tmpdir")}/graft-index-$key"
+    IndexBuilder.build(spark, docs(spark, dir), root, idCol = "doc_id", textCol = "text")
+    new Searcher(spark, root)
+  }
+
+  /** Engine WAND top-k; oracle = the same SQL as the declarative path. */
+  def engBm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val s = indexFor(spark, dir)
+    s.search(RefQuery.mkString(" "), K)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** Engine exact (unpruned) top-k — `exact=true` flag analog. */
+  def engBm25Exact(spark: SparkSession, dir: String): DataFrame = {
+    val s = indexFor(spark, dir)
+    s.searchExact(RefQuery.mkString(" "), K)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.corpus.CorpusGen
+import graft.index.{IndexBuilder, Searcher}
+import graft.oracle.ExactScorer
+
+/** The correctness core (north rule): the distributed index + WAND top-k
+  * must be rank-identical — docIds AND scores — to the in-memory exact
+  * oracle, at any parallelism/bucketing. Analog of usearch's exact-match
+  * suite (/root/reference/python/scripts/test_index.py:165-183 self-recall,
+  * /root/reference/python/scripts/test_tooling.py:74-100 brute-force oracle).
+  */
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nDocs = 300
+  private lazy val docs = CorpusGen.generateLocal(nDocs)
+  private lazy val oracle = new ExactScorer(docs.zipWithIndex.map { case (d, i) => (i.toLong, d.content) })
+
+  // deterministic docId = generation index (the generator is a pure
+  // function of the id, so this equals the (repo,path,commit)-sort
+  // derivation tested separately in DocIdsSpec)
+  private def buildIndex(buckets: Int): Searcher = {
+    val root = Files.createTempDirectory(s"graft-idx-$buckets-").toString
+    val indexed = spark.range(0, nDocs).map(i => (i, CorpusGen.genDoc(42L, i).content))
+      .toDF("doc_id", "content")
+    IndexBuilder.build(spark, indexed, root, targetBuckets = buckets)
+    new Searcher(spark, root)
+  }
+
+  private lazy val searcher5 = buildIndex(5)
+
+  private def hits(df: org.apache.spark.sql.DataFrame): Array[(Long, Double)] =
+    df.as[(Long, Double)].collect()
+
+  test("sha256 integrity: generator column matches recomputation (input_hint invariant)") {
+    val bad = CorpusGen.generate(spark, 100)
+      .map(d => (d.sha256, CorpusGen.sha256Hex(d.content)))
+      .filter(t => t._1 != t._2)
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("exact path is rank- and score-identical to the in-memory oracle") {
+    val queries = CorpusGen.querySet(20)
+    queries.foreach { case (qid, q) =>
+      val expected = oracle.search(q, 10)
+      val got = hits(searcher5.searchExact(q, 10))
+      assert(got.length == expected.length, s"q$qid '$q' count")
+      got.zip(expected).zipWithIndex.foreach { case (((gd, gs), (ed, es)), r) =>
+        assert(gd == ed, s"q$qid '$q' rank $r docId: got $gd want $ed")
+        assert(gs == es, s"q$qid '$q' rank $r score: got $gs want $es (must be bit-identical)")
+      }
+    }
+  }
+
+  test("WAND pruned path equals exact path (docIds and scores)") {
+    val queries = CorpusGen.querySet(20)
+    queries.foreach { case (qid, q) =>
+      val exact = hits(searcher5.searchExact(q, 10))
+      val wand = hits(searcher5.search(q, 10))
+      assert(wand.toSeq == exact.toSeq, s"q$qid '$q'")
+    }
+  }
+
+  test("results invariant under bucketing/partitioning (parallelism sweep analog)") {
+    val searcher3 = buildIndex(3)
+    CorpusGen.querySet(10).foreach { case (qid, q) =>
+      assert(hits(searcher3.search(q, 10)).toSeq == hits(searcher5.search(q, 10)).toSeq,
+        s"q$qid '$q' differs between 3-bucket and 5-bucket layouts")
+    }
+  }
+
+  test("filtered search ranks within the filtered set (filtered_search analog)") {
+    val q = "id0 id1 def"
+    val allowSet = (0L until nDocs.toLong).filter(_ % 3 == 0).toSet
+    val got = hits(searcher5.search(q, 10, allow = Some(allowSet.contains)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (d, _) => allowSet.contains(d) })
+    // oracle: filter the full exact ranking, then take 10
+    val expected = oracle.search(q, nDocs).filter { case (d, _) => allowSet.contains(d) }.take(10)
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("self-recall: a doc queried by its own rarest terms retrieves itself at rank 1") {
+    // rarest terms of a doc per oracle df
+    (0 until 20).foreach { i =>
+      val terms = graft.analyze.Tokenizer.tokenize(docs(i).content).distinct
+      val rare = terms.sortBy(t => (oracle.df(t), t)).take(4)
+      val got = hits(searcher5.search(rare.mkString(" "), 3))
+      val expected = oracle.search(rare.mkString(" "), 3)
+      assert(got.toSeq == expected.toSeq, s"doc $i")
+      // usearch-style self-recall: the doc appears in its own top results
+      assert(expected.take(3).exists(_._1 == i.toLong) == got.take(3).exists(_._1 == i.toLong))
+    }
+  }
+
+  test("absent-term query returns empty; empty query returns empty") {
+    assert(searcher5.search("zzznotaterm qqqmissing", 10).count() == 0L)
+    assert(searcher5.search("", 10).count() == 0L)
+  }
+
+  test("checkpoint resume: rebuilding over an existing index is a no-op (and fast)") {
+    val root = Files.createTempDirectory("graft-resume-").toString
+    val indexed = spark.range(0, 50).map(i => (i, CorpusGen.genDoc(42L, i).content))
+      .toDF("doc_id", "content")
+    val s1 = IndexBuilder.build(spark, indexed, root, targetBuckets = 2)
+    val t0 = System.nanoTime()
+    val s2 = IndexBuilder.build(spark, indexed, root, targetBuckets = 2)
+    val resumeMs = (System.nanoTime() - t0) / 1000000L
+    assert(s1 == s2)
+    assert(resumeMs < 5000, s"resume took ${resumeMs}ms — stages were not skipped")
+  }
+}
