@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Fulltext, Relational}
+import graft.ops.{Dedup, Fulltext, Relational, Similarity, TextAnalysis, UsearchOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,6 +34,31 @@ object SparkEntry {
       Fulltext.bm25TopK(s, d, langFilter = Some("en"))),
     "eng_bm25_topk" -> Fulltext.engBm25TopK _,
     "eng_bm25_exact" -> Fulltext.engBm25Exact _,
+    // usearch key-API analogs
+    "u_contains" -> UsearchOps.contains _,
+    "u_count_key" -> UsearchOps.countKey _,
+    "u_get" -> UsearchOps.get _,
+    "u_export_keys" -> UsearchOps.exportKeys _,
+    "u_stats" -> UsearchOps.stats _,
+    "u_remove" -> UsearchOps.removeTombstones _,
+    "u_rename" -> UsearchOps.rename _,
+    // similarity search over embeddings
+    "sim_knn_exact" -> ((s: SparkSession, d: String) => Similarity.knnExact(s, d)),
+    "sim_knn_filtered" -> ((s: SparkSession, d: String) =>
+      Similarity.knnExact(s, d, labelFilter = Some(3))),
+    "sim_pairwise" -> Similarity.pairwiseDistance _,
+    "sim_cluster_assign" -> Similarity.clusterAssign _,
+    "sim_emb_neardup" -> ((s: SparkSession, d: String) => Similarity.embNearDup(s, d)),
+    // dedup suite
+    "dd_exact" -> Dedup.exact _,
+    "dd_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "dd_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "dd_simhash" -> Dedup.simhash _,
+    // text analysis
+    "ta_tokcount" -> TextAnalysis.tokenCount _,
+    "ta_quality" -> TextAnalysis.quality _,
+    "ta_langid" -> TextAnalysis.langId _,
+    "ta_fingerprint" -> TextAnalysis.fingerprint _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -48,5 +73,25 @@ object SparkEntry {
     "ft_bm25_filtered" -> Fulltext.bm25TopKSql(langFilter = Some("en")),
     "eng_bm25_topk" -> Fulltext.bm25TopKSql(),
     "eng_bm25_exact" -> Fulltext.bm25TopKSql(),
+    "u_contains" -> UsearchOps.containsSql,
+    "u_count_key" -> UsearchOps.countKeySql,
+    "u_get" -> UsearchOps.getSql,
+    "u_export_keys" -> UsearchOps.exportKeysSql,
+    "u_stats" -> UsearchOps.statsSql,
+    "u_remove" -> UsearchOps.removeTombstonesSql,
+    "u_rename" -> UsearchOps.renameSql,
+    "sim_knn_exact" -> Similarity.knnExactSql(),
+    "sim_knn_filtered" -> Similarity.knnExactSql(labelFilter = Some(3)),
+    "sim_pairwise" -> Similarity.pairwiseDistanceSql,
+    "sim_cluster_assign" -> Similarity.clusterAssignSql,
+    "sim_emb_neardup" -> Similarity.embNearDupSql(),
+    "dd_exact" -> Dedup.exactSql,
+    "dd_ngram_jaccard" -> Dedup.ngramJaccardSql(),
+    "dd_minhash_lsh" -> Dedup.minhashLshSql(),
+    "dd_simhash" -> Dedup.simhashSql,
+    "ta_tokcount" -> TextAnalysis.tokenCountSql,
+    "ta_quality" -> TextAnalysis.qualitySql,
+    "ta_langid" -> TextAnalysis.langIdSql,
+    "ta_fingerprint" -> TextAnalysis.fingerprintSql,
   )
 }

@@ -1,0 +1,249 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analyze.Tokenizer
+
+/** Training-pipeline deduplication over the `documents` table: exact,
+  * n-gram Jaccard (exact quadratic baseline), MinHash+LSH (the scale
+  * path), and SimHash. The set-similarity math mirrors the reference's
+  * variable-length Jaccard metric (`metric_jaccard_gt`,
+  * /root/reference/include/usearch/index_plugins.hpp:1486-1506; sets demo
+  * /root/reference/cpp/test.cpp:909-973).
+  *
+  * Hashes must agree between Spark and DuckDB, so every hash is derived
+  * from md5 hex (both engines) → first 8 hex chars → unsigned 32-bit int.
+  * All similarity arithmetic is integer-counts-in-double → bit-identical
+  * across engines.
+  */
+object Dedup {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Portable 32-bit hash: md5 → first 8 hex → bigint. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  def hash32Sql(e: String): String =
+    s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
+  /** Word 3-gram shingles of the token stream (order-preserving),
+    * via codegen'd builtins: sequence + transform + element_at.
+    */
+  def shinglesCol(text: Column): Column = {
+    val toks = Tokenizer.tokensCol(text)
+    // sequence(1, 0) would be a DESCENDING range in Spark — guard docs
+    // with fewer than 3 tokens explicitly
+    when(size(toks) >= 3,
+      transform(
+        sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** DuckDB equivalent of [[shinglesCol]] as a per-doc table expr. */
+  def shinglesSqlCte: String =
+    s"""tokd AS (SELECT doc_id, ${Tokenizer.duckdbTokensSql("text")} AS toks FROM documents),
+       |shix AS (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 1, 1))) AS i FROM tokd),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle FROM shix)""".stripMargin
+
+  /** Distinct (doc_id, shingle) pairs. */
+  private def shingleTable(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(shinglesCol(col("text"))).as("shingle"))
+      .distinct()
+
+  // ------------------------------------------------------------------
+  // exact dedup
+  // ------------------------------------------------------------------
+
+  /** Exact dedup: group by content hash, keep min docId as representative
+    * (the duplicate-key rejection analog,
+    * /root/reference/include/usearch/index_dense.hpp:2007-2008).
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("rep_doc_id"))
+      .orderBy(col("text_md5"))
+
+  val exactSql: String =
+    """SELECT md5(text) AS text_md5, count(*) AS n, min(doc_id) AS rep_doc_id
+      |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin
+
+  // ------------------------------------------------------------------
+  // n-gram Jaccard (exact, quadratic baseline)
+  // ------------------------------------------------------------------
+
+  /** Near-dup pairs by word-3-gram Jaccard ≥ threshold. Exact quadratic
+    * baseline (self-join on shingle); MinHash+LSH below is the 100 TB
+    * path. Jaccard = |∩| / (|a|+|b|-|∩|) — integer counts, so the double
+    * is bit-identical across engines.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val sh = shingleTable(spark, dir)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(counts.select(col("doc_id").as("left_id"), col("n_sh").as("na")), "left_id")
+      .join(counts.select(col("doc_id").as("right_id"), col("n_sh").as("nb")), "right_id")
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      // basis points via exact integer round-half-up: decimal round() on
+      // doubles is engine-dependent at .5 boundaries
+      .select(col("left_id"), col("right_id"),
+        expr("(20000 * i + (na + nb - i)) div (2 * (na + nb - i))").as("jaccard_bp"))
+      .orderBy(col("left_id"), col("right_id"))
+  }
+
+  def ngramJaccardSql(threshold: Double = 0.8): String =
+    s"""WITH ${shinglesSqlCte},
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT left_id, right_id,
+       |  (20000 * i + (ca.n_sh + cb.n_sh - i)) // (2 * (ca.n_sh + cb.n_sh - i)) AS jaccard_bp
+       |FROM inter
+       |JOIN cnt ca ON ca.doc_id = left_id
+       |JOIN cnt cb ON cb.doc_id = right_id
+       |WHERE i::DOUBLE / (ca.n_sh + cb.n_sh - i) >= $threshold
+       |ORDER BY left_id, right_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH (the at-scale near-dup path)
+  // ------------------------------------------------------------------
+
+  final val NumHashes = 8
+  final val Bands = 4 // 2 rows per band
+
+  /** MinHash signature (8 hashes) per doc. */
+  private def minhashes(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(spark, dir)
+    val hashed = (0 until NumHashes).foldLeft(sh) { (df, i) =>
+      df.withColumn(s"h$i", hash32(concat(lit(s"$i:"), col("shingle"))))
+    }
+    hashed.groupBy(col("doc_id"))
+      .agg(min(col("h0")).as("m0"),
+        (1 until NumHashes).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+  }
+
+  /** Near-dup pairs via banded MinHash LSH: candidates share at least one
+    * band (2 consecutive minhashes equal), then candidates are verified
+    * with the true Jaccard — scale path: only bucket-mates are joined,
+    * never all pairs. Hot buckets are bounded because signatures of
+    * non-near-dups collide on a full band with prob ≈ jaccard².
+    */
+  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val mh = minhashes(spark, dir)
+    // candidate pairs: union over bands of self-join on (band minhash pair)
+    val candidates = (0 until Bands).map { b =>
+      val k1 = s"m${2 * b}"
+      val k2 = s"m${2 * b + 1}"
+      val left = mh.select(col("doc_id").as("left_id"), col(k1).as("k1"), col(k2).as("k2"))
+      val right = mh.select(col("doc_id").as("right_id"), col(k1).as("k1"), col(k2).as("k2"))
+      left.join(right, Seq("k1", "k2")).where(col("left_id") < col("right_id"))
+        .select(col("left_id"), col("right_id"))
+    }.reduce(_ union _).distinct()
+
+    // verify candidates with exact Jaccard
+    val sh = shingleTable(spark, dir)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = candidates
+      .join(sh.select(col("doc_id").as("left_id"), col("shingle")), "left_id")
+      .join(sh.select(col("doc_id").as("right_id"), col("shingle")), Seq("right_id", "shingle"))
+      .groupBy(col("left_id"), col("right_id"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(counts.select(col("doc_id").as("left_id"), col("n_sh").as("na")), "left_id")
+      .join(counts.select(col("doc_id").as("right_id"), col("n_sh").as("nb")), "right_id")
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      // basis points via exact integer round-half-up: decimal round() on
+      // doubles is engine-dependent at .5 boundaries
+      .select(col("left_id"), col("right_id"),
+        expr("(20000 * i + (na + nb - i)) div (2 * (na + nb - i))").as("jaccard_bp"))
+      .orderBy(col("left_id"), col("right_id"))
+  }
+
+  def minhashLshSql(threshold: Double = 0.8): String = {
+    val minCols = (0 until NumHashes)
+      .map(i => s"min(${hash32Sql(s"'$i:' || shingle")}) AS m$i").mkString(",\n       ")
+    val bandJoins = (0 until Bands).map { b =>
+      s"""SELECT a.doc_id AS left_id, b.doc_id AS right_id
+         |  FROM mh a JOIN mh b ON a.m${2 * b} = b.m${2 * b} AND a.m${2 * b + 1} = b.m${2 * b + 1}
+         |  WHERE a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\n  UNION\n  ")
+    s"""WITH ${shinglesSqlCte},
+       |mh AS (SELECT doc_id, $minCols FROM sh GROUP BY doc_id),
+       |cand AS (
+       |  $bandJoins),
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.left_id, c.right_id, count(*) AS i
+       |  FROM (SELECT DISTINCT left_id, right_id FROM cand) c
+       |  JOIN sh a ON a.doc_id = c.left_id
+       |  JOIN sh b ON b.doc_id = c.right_id AND b.shingle = a.shingle
+       |  GROUP BY 1, 2)
+       |SELECT left_id, right_id,
+       |  (20000 * i + (ca.n_sh + cb.n_sh - i)) // (2 * (ca.n_sh + cb.n_sh - i)) AS jaccard_bp
+       |FROM inter
+       |JOIN cnt ca ON ca.doc_id = left_id
+       |JOIN cnt cb ON cb.doc_id = right_id
+       |WHERE i::DOUBLE / (ca.n_sh + cb.n_sh - i) >= $threshold
+       |ORDER BY left_id, right_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** 32-bit SimHash per doc: per-term 32-bit hash, each bit weighted by
+    * tf (+tf if set, -tf if not); simhash bit b = (Σ weights)_b > 0.
+    * Bit extraction via exact integer arithmetic (div/mod) so both
+    * engines agree bit-for-bit.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tf = docs(spark, dir)
+      .select(col("doc_id"), explode(Tokenizer.tokensCol(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("h", hash32(col("term")))
+    val bits = tf
+      .select(col("doc_id"), col("tf"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("bitset", expr("(h div CAST(pow(2, b) AS BIGINT)) % 2"))
+      .withColumn("w",
+        when(col("bitset") === 1, col("tf")).otherwise(-col("tf")))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("w")).as("s"))
+    bits
+      .withColumn("bitval",
+        when(col("s") > 0, expr("CAST(pow(2, b) AS BIGINT)")).otherwise(lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bitval")).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val simhashSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |hashed AS (SELECT doc_id, tf, ${hash32Sql("term")} AS h FROM tf),
+       |bits AS (
+       |  SELECT doc_id, b.b,
+       |    sum(CASE WHEN (h // CAST(pow(2, b.b) AS BIGINT)) % 2 = 1 THEN tf ELSE -tf END) AS s
+       |  FROM hashed, (SELECT unnest(range(0, 32)) AS b) b
+       |  GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analyze.Tokenizer
+
+/** Text-analysis operators a large-scale training-data pipeline needs:
+  * token counting, quality scoring, language-ID heuristic, and document
+  * fingerprinting. All deterministic builtin-function pipelines (codegen,
+  * no UDF) with exact DuckDB oracles.
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  final val Stopwords = Seq("the", "a", "of", "to", "and", "in")
+  private val stopwordsSqlList = Stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** Token statistics per doc: total and unique token counts. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(Tokenizer.tokensCol(col("text"))).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("term")).as("n_unique"))
+      .orderBy(col("doc_id"))
+
+  val tokenCountSql: String =
+    s"""SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_unique
+       |FROM (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Quality score: blend of length, lexical diversity, and stopword
+    * ratio — computed entirely in integer basis points (exact
+    * round-half-up via `(2·10000·p + q) div (2q)`), because decimal
+    * `round()` on binary doubles differs between engines at exact .5
+    * boundaries, which ratios of small integers hit routinely.
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), explode(Tokenizer.tokensCol(col("text"))).as("term"))
+    tok.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("term")).as("n_unique"),
+        sum(when(col("term").isin(Stopwords: _*), 1L).otherwise(0L)).as("n_stop"))
+      // basis points, exact integer arithmetic only
+      .withColumn("stop_bp", expr("(20000 * n_stop + n_tokens) div (2 * n_tokens)"))
+      .withColumn("div_bp", expr("(20000 * n_unique + n_tokens) div (2 * n_tokens)"))
+      .withColumn("len_bp", least(expr("(20000 * n_tokens + 200) div 400"), lit(10000L)))
+      .withColumn("quality_bp",
+        expr("(4 * len_bp + 3 * div_bp + 3 * (10000 - stop_bp) + 5) div 10"))
+      .select(col("doc_id"), col("n_tokens"), col("stop_bp"), col("quality_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualitySql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_unique,
+       |    CAST(sum(CASE WHEN term IN ($stopwordsSqlList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+       |  FROM tok GROUP BY doc_id),
+       |bp AS (
+       |  SELECT doc_id, n_tokens,
+       |    (20000 * n_stop + n_tokens) // (2 * n_tokens) AS stop_bp,
+       |    (20000 * n_unique + n_tokens) // (2 * n_tokens) AS div_bp,
+       |    least((20000 * n_tokens + 200) // 400, 10000) AS len_bp
+       |  FROM agg)
+       |SELECT doc_id, n_tokens, stop_bp,
+       |  (4 * len_bp + 3 * div_bp + 3 * (10000 - stop_bp) + 5) // 10 AS quality_bp
+       |FROM bp ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic (n-gram/stopword evidence): English stopword
+    * ratio ≥ 2% → 'en', else 'unknown'. (The synthetic corpus is
+    * English-like across its `lang` labels; the heuristic's value here is
+    * the deterministic distributed pipeline, not linguistic accuracy.)
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), explode(Tokenizer.tokensCol(col("text"))).as("term"))
+    tok.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("term").isin(Stopwords: _*), 1L).otherwise(0L)).as("n_stop"))
+      .withColumn("lang_guess",
+        when(col("n_stop").cast("double") / col("n_tokens").cast("double") >= 0.02, lit("en"))
+          .otherwise(lit("unknown")))
+      .select(col("doc_id"), col("lang_guess"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    CAST(sum(CASE WHEN term IN ($stopwordsSqlList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+       |  FROM tok GROUP BY doc_id)
+       |SELECT doc_id,
+       |  CASE WHEN n_stop::DOUBLE / n_tokens::DOUBLE >= 0.02 THEN 'en' ELSE 'unknown' END AS lang_guess
+       |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprint: md5 over the normalized token stream — the
+    * canonical-content identity used for dedup/lineage (whitespace/punct
+    * insensitive, unlike the raw-content sha256 integrity column).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        md5(array_join(Tokenizer.tokensCol(col("text")), " ")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintSql: String =
+    s"""SELECT doc_id,
+       |  md5(array_to_string(${Tokenizer.duckdbTokensSql("text")}, ' ')) AS fingerprint
+       |FROM documents ORDER BY doc_id""".stripMargin
+}
