@@ -34,6 +34,7 @@ object SparkEntry {
       Fulltext.bm25TopK(s, d, langFilter = Some("en"))),
     "eng_bm25_topk" -> Fulltext.engBm25TopK _,
     "eng_bm25_exact" -> Fulltext.engBm25Exact _,
+    "eng_bm25_multigen" -> Fulltext.engBm25MultiGen _,
     // usearch key-API analogs
     "u_contains" -> UsearchOps.contains _,
     "u_count_key" -> UsearchOps.countKey _,
@@ -73,6 +74,7 @@ object SparkEntry {
     "ft_bm25_filtered" -> Fulltext.bm25TopKSql(langFilter = Some("en")),
     "eng_bm25_topk" -> Fulltext.bm25TopKSql(),
     "eng_bm25_exact" -> Fulltext.bm25TopKSql(),
+    "eng_bm25_multigen" -> Fulltext.bm25TopKSql(),
     "u_contains" -> UsearchOps.containsSql,
     "u_count_key" -> UsearchOps.countKeySql,
     "u_get" -> UsearchOps.getSql,

@@ -44,12 +44,33 @@ object IndexBuilder {
       Paths.get(root, s"_committed_$stage")
   }
 
+  /** Tokenize a corpus and build the full index at `root`. */
   def build(
       spark: SparkSession,
       corpus: DataFrame,
       root: String,
       idCol: String = "doc_id",
       textCol: String = "content",
+      targetBuckets: Int = 0): IndexStats = {
+    val tf = corpus
+      .select(col(idCol).as("doc_id"), explode(Tokenizer.tokensCol(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    buildFromTf(spark, tf, corpus.count(), root, targetBuckets)
+  }
+
+  /** Build the index from an existing tf table (doc_id, term, tf) — the
+    * shared path for fresh builds and LSM merges (SegmentMerger decodes
+    * source segments back to tf rows and rebuilds here, so merged
+    * segments get block-max summaries consistent with the merged avgdl).
+    * `nDocs` is the corpus cardinality (BM25's N), supplied by the caller
+    * because docs with zero tokens never appear in tf.
+    */
+  def buildFromTf(
+      spark: SparkSession,
+      tfIn: DataFrame,
+      nDocs: Long,
+      root: String,
       targetBuckets: Int = 0): IndexStats = {
     import spark.implicits._
     val layout = Layout(root)
@@ -64,20 +85,15 @@ object IndexBuilder {
       Files.writeString(layout.statusFile(stage), s"rows=$rows")
     }
 
-    val nDocs = corpus.count()
     val buckets =
       if (targetBuckets > 0) targetBuckets
       else math.max(1, math.min(spark.sparkContext.defaultParallelism, (nDocs / 64L).toInt + 1))
     val bucketSize = math.max(1L, (nDocs + buckets - 1) / buckets)
 
-    // ---- stage 1: tf table (doc_id, term, tf) -------------------------
+    // ---- stage 1: persist the tf table ---------------------------------
     if (!committed("tokens")) {
       val t0 = System.nanoTime()
-      corpus
-        .select(col(idCol).as("doc_id"), explode(Tokenizer.tokensCol(col(textCol))).as("term"))
-        .groupBy($"doc_id", $"term")
-        .agg(count(lit(1)).as("tf"))
-        .write.mode(SaveMode.Overwrite).parquet(layout.tokens)
+      tfIn.write.mode(SaveMode.Overwrite).parquet(layout.tokens)
       commit("tokens", -1L, t0)
     }
     val tf = spark.read.parquet(layout.tokens)

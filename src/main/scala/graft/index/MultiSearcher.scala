@@ -1,0 +1,55 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analyze.Tokenizer
+
+/** Scatter-gather search over several index generations — the analog of
+  * the reference's multi-index `Indexes.search`
+  * (/root/reference/python/lib.cpp:330-402,
+  * /root/reference/python/usearch/index.py:1473-1514): every shard is
+  * searched with the SAME global statistics, then the per-shard ranked
+  * results are merged with a bounded ordered merge
+  * (`merge_into`, /root/reference/include/usearch/index.hpp:2650-2670).
+  *
+  * With global stats injected, the merged top-k is bit-identical to the
+  * top-k of one index built over the union corpus (proved in MergeSpec) —
+  * which is what lets the streaming path serve queries before compaction.
+  *
+  * Doc-id spaces of the generations must be disjoint (the streaming
+  * ingester assigns monotonically increasing id ranges per batch).
+  */
+final class MultiSearcher(spark: SparkSession, roots: Seq[String]) {
+  require(roots.nonEmpty)
+
+  val searchers: Seq[Searcher] = roots.map(new Searcher(spark, _))
+
+  val nDocs: Long = searchers.map(_.stats.nDocs).sum
+  private val totalTokens: Long = searchers.map(_.stats.totalTokens).sum
+  val avgdl: Double = totalTokens.toDouble / nDocs.toDouble
+
+  /** Global df per query term = sum of per-generation dfs. */
+  def globalStatsFor(terms: Seq[String]): GlobalStats = {
+    val df = searchers
+      .map(_.termDfs(terms))
+      .foldLeft(Map.empty[String, Long]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (t, d)) => a.updated(t, a.getOrElse(t, 0L) + d) }
+      }
+    GlobalStats(nDocs, avgdl, df)
+  }
+
+  def search(
+      query: String,
+      k: Int,
+      exact: Boolean = false,
+      allow: Option[Long => Boolean] = None): DataFrame = {
+    val terms = Tokenizer.tokenize(query).distinct.sorted
+    val g = globalStatsFor(terms)
+    searchers
+      .map(_.search(query, k, exact, allow, Some(g)))
+      .reduce(_ union _)
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+}

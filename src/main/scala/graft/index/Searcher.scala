@@ -36,15 +36,14 @@ final class Searcher(spark: SparkSession, root: String) extends Serializable {
   private val layout = IndexBuilder.Layout(root)
   val stats: IndexStats = spark.read.parquet(layout.stats).as[IndexStats].head()
 
-  /** (term, idf, globalMaxTfNorm) for terms present in the dictionary. */
-  private def lookupTerms(terms: Array[String]): Array[(String, Double, Double)] = {
-    if (terms.isEmpty) return Array.empty
-    val n = stats.nDocs
+  /** Per-term df from this index's dictionary (tiny pruned read). */
+  def termDfs(terms: Seq[String]): Map[String, Long] = {
+    if (terms.isEmpty) return Map.empty
     spark.read.parquet(layout.dict).as[DictRow]
-      .where($"term".isin(terms.toSeq: _*))
+      .where($"term".isin(terms: _*))
       .collect()
-      .map(d => (d.term, Bm25.idf(d.df, n), d.maxTfNorm))
-      .sortBy(_._1)
+      .map(d => d.term -> d.df)
+      .toMap
   }
 
   /** Top-k search. Returns DataFrame(doc_id: Long, score: Double) ordered
@@ -60,14 +59,26 @@ final class Searcher(spark: SparkSession, root: String) extends Serializable {
       query: String,
       k: Int,
       exact: Boolean = false,
-      allow: Option[Long => Boolean] = None): DataFrame = {
+      allow: Option[Long => Boolean] = None,
+      globalStats: Option[GlobalStats] = None): DataFrame = {
     val qTerms = Tokenizer.tokenize(query).distinct.sorted
-    val dictHits = lookupTerms(qTerms)
+    // idf from global stats when searching as one shard of a multi-index
+    // (the `Indexes` scatter-gather analog): every shard must score with
+    // the same N/df/avgdl or the merged ranking is meaningless
+    val g = globalStats.getOrElse(
+      GlobalStats(stats.nDocs, stats.avgdl, termDfs(qTerms)))
+    val dictHits = qTerms
+      .filter(t => g.dfByTerm.getOrElse(t, 0L) > 0L)
+      .map(t => (t, Bm25.idf(g.dfByTerm(t), g.nDocs)))
     if (dictHits.isEmpty)
       return spark.emptyDataset[Hit].toDF("doc_id", "score")
 
     val termList = dictHits.map(_._1).toSeq
-    val idfByTerm = dictHits.map(t => (t._1, t._2)).toMap
+    val idfByTerm = dictHits.toMap
+    // stored block-max tf-norms were computed with THIS index's avgdl; a
+    // larger global avgdl raises tfNorm by at most avgdl_new/avgdl_old —
+    // scale the UBs so WAND pruning stays sound (never under-estimates)
+    val ubScale = math.max(1.0, g.avgdl / stats.avgdl)
 
     val postings = spark.read.parquet(layout.segments).as[PostingRow]
       .where($"term".isin(termList: _*))
@@ -83,7 +94,8 @@ final class Searcher(spark: SparkSession, root: String) extends Serializable {
     val allowB = spark.sparkContext.broadcast(allow)
     val kLocal = k
     val exactLocal = exact
-    val avgdlLocal = stats.avgdl
+    val avgdlLocal = g.avgdl
+    val ubScaleLocal = ubScale
 
     val perBucket = postings
       .groupByKey(_.bucket)
@@ -93,7 +105,8 @@ final class Searcher(spark: SparkSession, root: String) extends Serializable {
         else {
           val dl = lensArr.head
           Searcher.wandBucket(
-            posts.toArray, dl, idfB.value, avgdlLocal, kLocal, exactLocal, allowB.value)
+            posts.toArray, dl, idfB.value, avgdlLocal, ubScaleLocal,
+            kLocal, exactLocal, allowB.value)
         }
       }
 
@@ -113,8 +126,9 @@ object Searcher {
   private final class Cursor(
       val term: String,
       val idf: Double,
+      ubScale: Double,
       row: PostingRow) {
-    val ub: Double = idf * row.maxTfNorm // bucket-local term upper bound
+    val ub: Double = idf * row.maxTfNorm * ubScale // bucket-local term UB
     private val blocks = row.blocks
     private var blockIdx = 0
     private var decoded: graft.codec.Postings = _
@@ -188,12 +202,13 @@ object Searcher {
       doclen: DocLenRow,
       idfByTerm: Map[String, Double],
       avgdl: Double,
+      ubScale: Double,
       k: Int,
       exact: Boolean,
       allow: Option[Long => Boolean]): Iterator[Hit] = {
     // cursors in fixed sorted-term order → deterministic accumulation
     val byTerm = rows.sortBy(_.term)
-    val cursors = byTerm.map(r => new Cursor(r.term, idfByTerm(r.term), r))
+    val cursors = byTerm.map(r => new Cursor(r.term, idfByTerm(r.term), ubScale, r))
     if (cursors.isEmpty) return Iterator.empty
 
     // docId → docLen within this bucket (ascending arrays → binary search)

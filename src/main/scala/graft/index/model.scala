@@ -67,3 +67,11 @@ final case class ManifestRow(
   * (score desc, docId asc) so parallelism cannot change ranks.
   */
 final case class Hit(docId: Long, score: Double)
+
+/** Corpus-wide scoring statistics. When searching one shard of a
+  * multi-generation index (the `Indexes` analog,
+  * /root/reference/python/usearch/index.py:1473-1514), every shard must
+  * score with the same global N / df / avgdl for the merged ranking to
+  * equal a single-index ranking.
+  */
+final case class GlobalStats(nDocs: Long, avgdl: Double, dfByTerm: Map[String, Long])

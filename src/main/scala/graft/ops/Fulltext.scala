@@ -168,4 +168,23 @@ object Fulltext {
     s.searchExact(RefQuery.mkString(" "), K)
       .select(col("doc_id"), round(col("score"), 4).as("score"))
   }
+
+  /** Multi-generation scatter-gather (the `Indexes` analog): the corpus
+    * split into two disjoint generations, searched with shared global
+    * stats, merged — must match the same single-corpus SQL oracle.
+    */
+  def engBm25MultiGen(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val tmp = sys.props("java.io.tmpdir")
+    val d = docs(spark, dir)
+    val rootA = s"$tmp/graft-mgen-a-$key"
+    val rootB = s"$tmp/graft-mgen-b-$key"
+    IndexBuilder.build(spark, d.where(col("doc_id") % 2 === 0), rootA,
+      idCol = "doc_id", textCol = "text")
+    IndexBuilder.build(spark, d.where(col("doc_id") % 2 === 1), rootB,
+      idCol = "doc_id", textCol = "text")
+    new graft.index.MultiSearcher(spark, Seq(rootA, rootB))
+      .search(RefQuery.mkString(" "), K)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+  }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.corpus.CorpusGen
+import graft.index.{IndexBuilder, MultiSearcher, Searcher, SegmentMerger}
+
+/** LSM lifecycle invariants (the compact/isolate analogs):
+  * - merged(gen A, gen B) ≡ fresh build over A ∪ B (search-identical)
+  * - MultiSearcher(A, B) with global stats ≡ single-index search
+  * - tombstoned merge ≡ fresh build over the surviving docs
+  */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val n = 200
+  private val half = 100
+
+  private def corpusDf(from: Long, until: Long) =
+    spark.range(from, until).map(i => (i, CorpusGen.genDoc(42L, i).content))
+      .toDF("doc_id", "content")
+
+  private def tmp(tag: String) = Files.createTempDirectory(s"graft-merge-$tag-").toString
+
+  private lazy val fullRoot = {
+    val r = tmp("full")
+    IndexBuilder.build(spark, corpusDf(0, n), r, targetBuckets = 4)
+    r
+  }
+  private lazy val genA = {
+    val r = tmp("a")
+    IndexBuilder.build(spark, corpusDf(0, half), r, targetBuckets = 3)
+    r
+  }
+  private lazy val genB = {
+    val r = tmp("b")
+    IndexBuilder.build(spark, corpusDf(half, n), r, targetBuckets = 2)
+    r
+  }
+
+  private def topk(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.as[(Long, Double)].collect().toSeq
+
+  private val queries = CorpusGen.querySet(12)
+
+  test("multi-generation scatter-gather equals single-index search (Indexes analog)") {
+    val single = new Searcher(spark, fullRoot)
+    val multi = new MultiSearcher(spark, Seq(genA, genB))
+    assert(multi.nDocs == single.stats.nDocs)
+    assert(multi.avgdl == single.stats.avgdl)
+    queries.foreach { case (qid, q) =>
+      assert(topk(multi.search(q, 10)) == topk(single.search(q, 10)), s"q$qid '$q'")
+    }
+  }
+
+  test("LSM merge of two generations equals a fresh full build") {
+    val out = tmp("merged")
+    val mergedStats = SegmentMerger.merge(spark, Seq(genA, genB), out, targetBuckets = 4)
+    val single = new Searcher(spark, fullRoot)
+    assert(mergedStats.nDocs == single.stats.nDocs)
+    assert(mergedStats.totalTokens == single.stats.totalTokens)
+    assert(mergedStats.nTerms == single.stats.nTerms)
+    assert(mergedStats.totalPostings == single.stats.totalPostings)
+    val merged = new Searcher(spark, out)
+    queries.foreach { case (qid, q) =>
+      assert(topk(merged.search(q, 10)) == topk(single.search(q, 10)), s"q$qid '$q'")
+    }
+  }
+
+  test("tombstoned merge equals a fresh build over surviving docs (remove/isolate analog)") {
+    val removed = (0L until n.toLong).filter(_ % 7 == 0)
+    val tombstones = removed.toDF("doc_id")
+    val out = tmp("tombstoned")
+    SegmentMerger.merge(spark, Seq(genA, genB), out, Some(tombstones), targetBuckets = 3)
+
+    val survivorRoot = tmp("survivors")
+    val survivors = corpusDf(0, n).where(!$"doc_id".isin(removed: _*))
+    IndexBuilder.build(spark, survivors, survivorRoot, targetBuckets = 4)
+
+    val merged = new Searcher(spark, out)
+    val fresh = new Searcher(spark, survivorRoot)
+    assert(merged.stats.nDocs == fresh.stats.nDocs)
+    assert(merged.stats.totalPostings == fresh.stats.totalPostings)
+    queries.foreach { case (qid, q) =>
+      assert(topk(merged.search(q, 10)) == topk(fresh.search(q, 10)), s"q$qid '$q'")
+    }
+    // removed docs never surface
+    queries.foreach { case (_, q) =>
+      val hits = topk(merged.search(q, 50)).map(_._1)
+      assert(hits.forall(id => id % 7 != 0))
+    }
+  }
+}
