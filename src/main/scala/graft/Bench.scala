@@ -1,24 +1,79 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.corpus.CorpusGen
+import graft.index.{IndexBuilder, Searcher}
+
+/** Driver benchmark: runs the headline queries at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line. Also times the engine itself: a fresh inverted-
+  * index build over the documents table (files/sec) and the 50-query
+  * reference set answered in one batch pass (q/s) — the rebuild analogs
+  * of the reference's add/search QPS table
+  * (/root/reference/BENCHMARKS.md:19-49; see BASELINE.md).
+  */
 object Bench {
+
+  private def deleteRec(p: java.io.File): Unit = {
+    if (p.isDirectory) p.listFiles().foreach(deleteRec)
+    p.delete()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // relational + pipeline queries (collect forces the full plan)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      results(name) = time { fn(spark, sfDir).collect() }
+    }
+
+    // engine: fresh build over the documents table → files/sec
+    val benchRoot = s"${sys.props("java.io.tmpdir")}/graft-bench-${System.nanoTime()}"
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs = docsDf.count()
+    val tBuild = time {
+      IndexBuilder.build(spark, docsDf, benchRoot, idCol = "doc_id", textCol = "text")
+    }
+    results("eng_build_index") = tBuild
+
+    // engine: 50-query reference set in one batch pass → q/s
+    val searcher = new Searcher(spark, benchRoot)
+    val queries = CorpusGen.querySet(50).map { case (id, q) => (id, q + " spark merge table") }
+    val tBatch = time { searcher.searchMany(queries, 10).collect() }
+    results("eng_search_50q_batch") = tBatch
+
+    // engine: single-query latency (separate jobs per query), 10 queries
+    val tSingles = time {
+      queries.take(10).foreach { case (_, q) => searcher.search(q, 10).collect() }
+    }
+    results("eng_search_10q_sequential") = tSingles
+
+    deleteRec(new java.io.File(benchRoot))
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.values.sum
+    val buildFps = nDocs / tBuild
+    val batchQps = 50.0 / tBatch
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""build_files_per_sec":$buildFps,"batch_queries_per_sec":$batchQps,""" +
+        s""""n_docs":$nDocs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -55,6 +55,8 @@ object SparkEntry {
     "dd_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dd_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dd_simhash" -> Dedup.simhash _,
+    // multimodal binary-column plumbing
+    "mm_byte_stats" -> graft.multimodal.Multimodal.byteStats _,
     // text analysis
     "ta_tokcount" -> TextAnalysis.tokenCount _,
     "ta_quality" -> TextAnalysis.quality _,
@@ -91,6 +93,7 @@ object SparkEntry {
     "dd_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     "dd_minhash_lsh" -> Dedup.minhashLshSql(),
     "dd_simhash" -> Dedup.simhashSql,
+    "mm_byte_stats" -> graft.multimodal.Multimodal.byteStatsSql,
     "ta_tokcount" -> TextAnalysis.tokenCountSql,
     "ta_quality" -> TextAnalysis.qualitySql,
     "ta_langid" -> TextAnalysis.langIdSql,

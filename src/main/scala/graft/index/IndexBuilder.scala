@@ -3,6 +3,7 @@ package graft.index
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.analyze.Tokenizer
@@ -13,10 +14,11 @@ import graft.query.Bm25
   * `add` path (/root/reference/include/usearch/index.hpp:2780-2880),
   * re-expressed as declarative Dataset ops so Catalyst plans the shuffles:
   *
-  *   corpus ── tokenize/explode ──► groupBy(docId, term) ──► tf  [shuffle 1]
-  *   tf     ── groupBy(docId)  ──► docLens (norms)               [shuffle 2]
-  *   tf⋈dl  ── groupBy(term, bucket) ──► posting rows            [shuffle 3]
-  *          ── delta+varbyte blocks + block-max ──► Parquet segments
+  *   corpus ── tokenize/explode ── groupBy(docId, term) ──► tf [shuffle 1]
+  *   tf     ── groupBy(docId) ──► docLens (norms)            [shuffle 2]
+  *   tf     ── window sum over docId → dl; groupBy(term, bucket)
+  *          ──► posting rows, delta+varbyte + block-max      [shuffles 3,4]
+  *   dict   ── derived from posting rows (no extra pass over tf)
   *
   * The docId-range `bucket` is the unit of parallelism, pruning, and skew
   * control: hot terms are split across every bucket (storage salting —
@@ -98,7 +100,7 @@ object IndexBuilder {
     }
     val tf = spark.read.parquet(layout.tokens)
 
-    // ---- stage 2: doc lengths (norms), bucketed -----------------------
+    // ---- stage 2: doc lengths (norms), bucketed -------------------------
     if (!committed("doclens")) {
       val t0 = System.nanoTime()
       tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
@@ -112,46 +114,19 @@ object IndexBuilder {
         .write.mode(SaveMode.Overwrite).parquet(layout.doclens)
       commit("doclens", nDocs, t0)
     }
-    def dlFlat: DataFrame = spark.read.parquet(layout.doclens).as[DocLenRow]
-      .flatMap(r => r.docIds.zip(r.lens)).toDF("doc_id", "dl")
 
-    // ---- stage 3: stats + dictionary ----------------------------------
-    if (!committed("dict")) {
-      val t0 = System.nanoTime()
-      val totalTokens = spark.read.parquet(layout.doclens).as[DocLenRow]
-        .flatMap(_.lens).reduce(_ + _)
-      val avgdl = totalTokens.toDouble / nDocs.toDouble
-      tf.join(dlFlat, "doc_id")
-        .select($"term", $"tf", $"dl")
-        .as[(String, Long, Long)]
-        .groupByKey(_._1)
-        .mapGroups { (term, it) =>
-          var df = 0L
-          var mx = 0.0
-          it.foreach { case (_, f, dl) =>
-            df += 1
-            val n = Bm25.tfNorm(f.toInt, dl, avgdl)
-            if (n > mx) mx = n
-          }
-          DictRow(term, df, mx)
-        }
-        .write.mode(SaveMode.Overwrite).parquet(layout.dict)
+    // corpus scalars needed to encode block-max summaries
+    val totalTokens = spark.read.parquet(layout.doclens).as[DocLenRow]
+      .flatMap(_.lens).reduce(_ + _)
+    val avgdl = totalTokens.toDouble / nDocs.toDouble
 
-      val d = spark.read.parquet(layout.dict).as[DictRow]
-      val nTerms = d.count()
-      val totalPostings = d.map(_.df).reduce(_ + _)
-      val stats = IndexStats(nDocs, totalTokens, nTerms, totalPostings, bucketSize, buckets)
-      Seq(stats).toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(layout.stats)
-      commit("dict", nTerms, t0)
-    }
-    val stats = spark.read.parquet(layout.stats).as[IndexStats].head()
-    val avgdl = stats.avgdl
-
-    // ---- stage 4: posting segments, bucketed + block-encoded ----------
+    // ---- stage 3: posting segments, bucketed + block-encoded ------------
     if (!committed("segments")) {
       val t0 = System.nanoTime()
-      tf.join(dlFlat, "doc_id")
-        .withColumn("bucket", (col("doc_id") / stats.bucketSize).cast("int"))
+      // dl via window over the doc_id shuffle — no second pass / join
+      val wDoc = Window.partitionBy(col("doc_id"))
+      tf.withColumn("dl", sum(col("tf")).over(wDoc))
+        .withColumn("bucket", (col("doc_id") / bucketSize).cast("int"))
         .select($"term", $"bucket", $"doc_id", $"tf", $"dl")
         .as[(String, Int, Long, Long, Long)]
         .groupByKey(r => (r._1, r._2))
@@ -173,10 +148,32 @@ object IndexBuilder {
         .mode(SaveMode.Overwrite)
         .partitionBy("bucket")
         .parquet(layout.segments)
-      commit("segments", stats.totalPostings, t0)
+      commit("segments", -1L, t0)
     }
 
-    // ---- manifest (lineage + metrics) ---------------------------------
+    // ---- stage 4: dictionary + stats, derived from segment rows ---------
+    if (!committed("dict")) {
+      val t0 = System.nanoTime()
+      spark.read.parquet(layout.segments).as[PostingRow]
+        .groupByKey(_.term)
+        .mapGroups { (term, it) =>
+          var df = 0L
+          var mx = 0.0
+          it.foreach { r => df += r.df; if (r.maxTfNorm > mx) mx = r.maxTfNorm }
+          DictRow(term, df, mx)
+        }
+        .write.mode(SaveMode.Overwrite).parquet(layout.dict)
+
+      val d = spark.read.parquet(layout.dict).as[DictRow]
+      val agg = d.agg(count(lit(1)), sum($"df")).head()
+      val stats = IndexStats(nDocs, totalTokens, agg.getLong(0), agg.getLong(1),
+        bucketSize, buckets)
+      Seq(stats).toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(layout.stats)
+      commit("dict", agg.getLong(0), t0)
+    }
+    val stats = spark.read.parquet(layout.stats).as[IndexStats].head()
+
+    // ---- manifest (lineage + metrics) ------------------------------------
     if (manifests.nonEmpty) {
       val existing =
         if (Files.exists(Paths.get(layout.manifest)))

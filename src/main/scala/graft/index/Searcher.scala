@@ -118,6 +118,69 @@ final class Searcher(spark: SparkSession, root: String) extends Serializable {
 
   /** Exact search convenience (full scoring, no pruning). */
   def searchExact(query: String, k: Int): DataFrame = search(query, k, exact = true)
+
+  /** Batch search: all queries answered in ONE distributed pass — the
+    * per-row task fan-out of the reference's batched `search_many`
+    * (/root/reference/python/lib.cpp:416-461, executor.dynamic), rendered
+    * as: one pruned postings scan over the union of query terms, one
+    * cogroup, per-bucket WAND per query, then a windowed global top-k per
+    * query. Returns (query_id, doc_id, score) ordered within each query
+    * by (score desc, doc_id asc), exactly what per-query [[search]] gives.
+    */
+  def searchMany(queries: Seq[(Int, String)], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qTerms: Seq[(Int, Array[String])] =
+      queries.map { case (id, q) => (id, Tokenizer.tokenize(q).distinct.sorted) }
+    val allTerms = qTerms.flatMap(_._2).distinct.sorted
+    if (allTerms.isEmpty)
+      return spark.emptyDataset[(Int, Long, Double)].toDF("query_id", "doc_id", "score")
+    val dfByTerm = termDfs(allTerms)
+    val n = stats.nDocs
+    val idfByTerm = dfByTerm.map { case (t, d) => t -> Bm25.idf(d, n) }
+    val livePerQuery: Seq[(Int, Array[String])] = qTerms
+      .map { case (id, ts) => (id, ts.filter(t => dfByTerm.getOrElse(t, 0L) > 0L)) }
+      .filter(_._2.nonEmpty)
+    if (livePerQuery.isEmpty)
+      return spark.emptyDataset[(Int, Long, Double)].toDF("query_id", "doc_id", "score")
+    val liveTerms = livePerQuery.flatMap(_._2).distinct.sorted
+
+    val postings = spark.read.parquet(layout.segments).as[PostingRow]
+      .where($"term".isin(liveTerms: _*))
+    val touched = postings.select($"bucket").distinct().as[Int].collect()
+    val doclens = spark.read.parquet(layout.doclens).as[DocLenRow]
+      .where($"bucket".isin(touched.toSeq: _*))
+
+    val idfB = spark.sparkContext.broadcast(idfByTerm)
+    val queriesB = spark.sparkContext.broadcast(livePerQuery)
+    val kLocal = k
+    val avgdlLocal = stats.avgdl
+
+    val perBucket = postings
+      .groupByKey(_.bucket)
+      .cogroup(doclens.groupByKey(_.bucket)) { (_, posts, lens) =>
+        val lensArr = lens.toArray
+        if (lensArr.isEmpty) Iterator.empty
+        else {
+          val dl = lensArr.head
+          val byTerm = posts.toArray.groupBy(_.term)
+          queriesB.value.iterator.flatMap { case (qid, terms) =>
+            val rows = terms.flatMap(byTerm.get).flatten
+            if (rows.isEmpty) Iterator.empty
+            else Searcher
+              .wandBucket(rows, dl, idfB.value, avgdlLocal, 1.0, kLocal, exact = false, None)
+              .map(h => (qid, h.docId, h.score))
+          }
+        }
+      }
+      .toDF("query_id", "doc_id", "score")
+
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), asc("doc_id"))
+    perBucket
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }
 
 object Searcher {

@@ -19,12 +19,12 @@ object Similarity {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  /** Σ aᵢ·bᵢ in double precision (inputs are float arrays). */
+  /** Σ aᵢ·bᵢ in double precision (inputs are float arrays) — a native
+    * codegen Expression (graft.functions.DotProduct); same element order
+    * as the fold/list_dot_product formulations, so bit-identical values.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0.0),
-      (acc, v) => acc + v)
+    graft.functions.DotProduct.dotCol(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -118,11 +118,17 @@ object Similarity {
     * variant of the same pattern).
     */
   def embNearDup(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+    // norms precomputed once per vector (not once per pair): O(n·d) + one
+    // dot per pair instead of three — same doubles, the divisor is the
+    // identical product of the identical square roots
     val e = emb(spark, dir)
-    val a = e.select(col("vec_id").as("left_id"), col("embedding").as("a"))
-    val b = e.select(col("vec_id").as("right_id"), col("embedding").as("b"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+    val a = e.select(col("vec_id").as("left_id"), col("embedding").as("a"), col("norm").as("norm_a"))
+    val b = e.select(col("vec_id").as("right_id"), col("embedding").as("b"), col("norm").as("norm_b"))
     a.join(b, col("left_id") < col("right_id"))
-      .select(col("left_id"), col("right_id"), cosine(col("a"), col("b")).as("cos_raw"))
+      .select(col("left_id"), col("right_id"),
+        (dot(col("a"), col("b")) / (col("norm_a") * col("norm_b"))).as("cos_raw"))
       .where(col("cos_raw") >= threshold)
       .select(col("left_id"), col("right_id"), round(col("cos_raw"), 6).as("cos_sim"))
       .orderBy(col("left_id"), col("right_id"))

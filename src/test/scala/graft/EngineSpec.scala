@@ -99,6 +99,18 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("batch searchMany equals per-query search (batched scatter-gather)") {
+    val queries = CorpusGen.querySet(15)
+    val batch = searcher5.searchMany(queries, 10)
+      .select("query_id", "doc_id", "score")
+      .as[(Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    queries.foreach { case (qid, q) =>
+      val single = hits(searcher5.search(q, 10)).toSeq
+      assert(batch.getOrElse(qid, Seq.empty) == single, s"q$qid '$q'")
+    }
+  }
+
   test("absent-term query returns empty; empty query returns empty") {
     assert(searcher5.search("zzznotaterm qqqmissing", 10).count() == 0L)
     assert(searcher5.search("", 10).count() == 0L)

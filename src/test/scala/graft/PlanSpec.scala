@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.corpus.CorpusGen
+import graft.index.IndexBuilder
+import graft.ops.{Fulltext, Relational}
+
+/** Physical-plan shape assertions — the 100 TB questions asked of the
+  * small-scale plans: do filters reach the Parquet scan, is column
+  * pruning in effect, are small dims broadcast, is aggregation partial?
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("postings scan pushes the term filter into Parquet (pruned read)") {
+    val root = Files.createTempDirectory("graft-plan-").toString
+    val indexed = spark.range(0, 100).map(i => (i, CorpusGen.genDoc(42L, i).content))
+      .toDF("doc_id", "content")
+    IndexBuilder.build(spark, indexed, root, targetBuckets = 2)
+    val read = spark.read.parquet(IndexBuilder.Layout(root).segments)
+      .where(col("term").isin("def", "id0"))
+    val plan = planOf(read)
+    assert(plan.contains("PushedFilters: [In(term"), s"no term pushdown in:\n$plan")
+  }
+
+  test("bucket partition column prunes segment directories") {
+    val root = Files.createTempDirectory("graft-plan2-").toString
+    val indexed = spark.range(0, 100).map(i => (i, CorpusGen.genDoc(42L, i).content))
+      .toDF("doc_id", "content")
+    IndexBuilder.build(spark, indexed, root, targetBuckets = 4)
+    val read = spark.read.parquet(IndexBuilder.Layout(root).segments)
+      .where(col("bucket") === 1)
+    val plan = planOf(read)
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"),
+      s"no partition pruning in:\n$plan")
+  }
+
+  test("q3 broadcasts the filtered customer dim") {
+    val plan = planOf(Relational.q3TopRevenue(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("q1 aggregation is map-side partial") {
+    val plan = planOf(Relational.q1Agg(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("partial_"), s"no partial aggregation in:\n$plan")
+  }
+
+  test("ft_df column-prunes the documents scan to (doc_id, text)") {
+    val plan = planOf(Fulltext.dfTable(spark, "/root/testdata/sf0.001"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("text"), s"text column missing: $readSchema")
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"unpruned columns read: $readSchema")
+  }
+
+  test("bm25 top-k plans as TakeOrderedAndProject (partial top-k + ordered merge)") {
+    val plan = planOf(Fulltext.bm25TopK(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$plan")
+  }
+}
