@@ -35,6 +35,7 @@ object SparkEntry {
     "eng_bm25_topk" -> Fulltext.engBm25TopK _,
     "eng_bm25_exact" -> Fulltext.engBm25Exact _,
     "eng_bm25_multigen" -> Fulltext.engBm25MultiGen _,
+    "eng_stats" -> Fulltext.engStats _,
     // usearch key-API analogs
     "u_contains" -> UsearchOps.contains _,
     "u_count_key" -> UsearchOps.countKey _,
@@ -55,6 +56,7 @@ object SparkEntry {
     "dd_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dd_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dd_simhash" -> Dedup.simhash _,
+    "dd_simhash_hamming" -> ((s: SparkSession, d: String) => Dedup.simhashHamming(s, d)),
     // multimodal binary-column plumbing
     "mm_byte_stats" -> graft.multimodal.Multimodal.byteStats _,
     // text analysis
@@ -77,6 +79,7 @@ object SparkEntry {
     "eng_bm25_topk" -> Fulltext.bm25TopKSql(),
     "eng_bm25_exact" -> Fulltext.bm25TopKSql(),
     "eng_bm25_multigen" -> Fulltext.bm25TopKSql(),
+    "eng_stats" -> Fulltext.engStatsSql,
     "u_contains" -> UsearchOps.containsSql,
     "u_count_key" -> UsearchOps.countKeySql,
     "u_get" -> UsearchOps.getSql,
@@ -93,6 +96,7 @@ object SparkEntry {
     "dd_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     "dd_minhash_lsh" -> Dedup.minhashLshSql(),
     "dd_simhash" -> Dedup.simhashSql,
+    "dd_simhash_hamming" -> Dedup.simhashHammingSql(),
     "mm_byte_stats" -> graft.multimodal.Multimodal.byteStatsSql,
     "ta_tokcount" -> TextAnalysis.tokenCountSql,
     "ta_quality" -> TextAnalysis.qualitySql,

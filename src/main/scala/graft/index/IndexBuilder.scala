@@ -46,19 +46,24 @@ object IndexBuilder {
       Paths.get(root, s"_committed_$stage")
   }
 
-  /** Tokenize a corpus and build the full index at `root`. */
+  /** Tokenize a corpus and build the full index at `root`.
+    * `knownNDocs` skips the counting pass when the caller already knows
+    * the corpus cardinality (a generated or manifest-tracked input).
+    */
   def build(
       spark: SparkSession,
       corpus: DataFrame,
       root: String,
       idCol: String = "doc_id",
       textCol: String = "content",
-      targetBuckets: Int = 0): IndexStats = {
+      targetBuckets: Int = 0,
+      knownNDocs: Long = -1L): IndexStats = {
     val tf = corpus
       .select(col(idCol).as("doc_id"), explode(Tokenizer.tokensCol(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    buildFromTf(spark, tf, corpus.count(), root, targetBuckets)
+    val n = if (knownNDocs >= 0) knownNDocs else corpus.count()
+    buildFromTf(spark, tf, n, root, targetBuckets)
   }
 
   /** Build the index from an existing tf table (doc_id, term, tf) — the
@@ -142,7 +147,14 @@ object IndexBuilder {
             .map(b => EncBlock(b.firstDocId, b.lastDocId, b.count, b.maxTfNorm, b.bytes))
           PostingRow(term, bucket, docIds.length.toLong, norms.max, blocks)
         }
-        .repartition(col("bucket"))
+        // one task per (bucket, term-hash split): write parallelism is
+        // shuffle-partition-wide, each task writes exactly one bucket dir
+        // (repartition(bucket) alone would cap parallelism at the bucket
+        // count and serialize big buckets through single tasks)
+        .repartition(
+          math.max(buckets, spark.sessionState.conf.numShufflePartitions),
+          col("bucket"), pmod(hash(col("term")),
+            lit(math.max(1, spark.sessionState.conf.numShufflePartitions / buckets))))
         .sortWithinPartitions(col("bucket"), col("term"))
         .write
         .mode(SaveMode.Overwrite)
@@ -164,25 +176,14 @@ object IndexBuilder {
         }
         .write.mode(SaveMode.Overwrite).parquet(layout.dict)
 
-      val d = spark.read.parquet(layout.dict).as[DictRow]
-      val agg = d.agg(count(lit(1)), sum($"df")).head()
-      val stats = IndexStats(nDocs, totalTokens, agg.getLong(0), agg.getLong(1),
-        bucketSize, buckets)
-      Seq(stats).toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(layout.stats)
+      val agg = spark.read.parquet(layout.dict).as[DictRow]
+        .agg(count(lit(1)), sum($"df")).head()
+      Meta.writeStats(root, IndexStats(nDocs, totalTokens, agg.getLong(0),
+        agg.getLong(1), bucketSize, buckets))
       commit("dict", agg.getLong(0), t0)
     }
-    val stats = spark.read.parquet(layout.stats).as[IndexStats].head()
-
-    // ---- manifest (lineage + metrics) ------------------------------------
-    if (manifests.nonEmpty) {
-      val existing =
-        if (Files.exists(Paths.get(layout.manifest)))
-          spark.read.parquet(layout.manifest).as[ManifestRow].collect().toSeq
-        else Seq.empty
-      val all = existing ++ manifests
-      all.toDS().coalesce(1).write.mode(SaveMode.Overwrite).parquet(layout.manifest)
-    }
-
-    stats
+    // lineage + metrics (Iceberg-style JSON metadata, driver-side)
+    if (manifests.nonEmpty) Meta.appendManifest(root, manifests.toSeq)
+    Meta.readStats(root)
   }
 }

@@ -34,7 +34,7 @@ final class Searcher(spark: SparkSession, root: String) extends Serializable {
   import spark.implicits._
 
   private val layout = IndexBuilder.Layout(root)
-  val stats: IndexStats = spark.read.parquet(layout.stats).as[IndexStats].head()
+  val stats: IndexStats = Meta.readStats(root)
 
   /** Per-term df from this index's dictionary (tiny pruned read). */
   def termDfs(terms: Seq[String]): Map[String, Long] = {

@@ -234,6 +234,40 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** SimHash near-dup candidates: pairs whose 32-bit simhash differs in
+    * ≤ `maxBits` bits (bit_count(xor)) — the constant-time candidate
+    * filter simhash exists for.
+    */
+  def simhashHamming(spark: SparkSession, dir: String, maxBits: Int = 3): DataFrame = {
+    val sh = simhash(spark, dir)
+    val a = sh.select(col("doc_id").as("left_id"), col("simhash").as("ha"))
+    val b = sh.select(col("doc_id").as("right_id"), col("simhash").as("hb"))
+    a.join(b, col("left_id") < col("right_id"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .where(col("hamming") <= maxBits)
+      .select(col("left_id"), col("right_id"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("left_id"), col("right_id"))
+  }
+
+  def simhashHammingSql(maxBits: Int = 3): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |hashed AS (SELECT doc_id, tf, ${hash32Sql("term")} AS h FROM tf),
+       |bits AS (
+       |  SELECT doc_id, b.b,
+       |    sum(CASE WHEN (h // CAST(pow(2, b.b) AS BIGINT)) % 2 = 1 THEN tf ELSE -tf END) AS s
+       |  FROM hashed, (SELECT unnest(range(0, 32)) AS b) b
+       |  GROUP BY 1, 2),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxBits
+       |ORDER BY left_id, right_id""".stripMargin
+
   val simhashSql: String =
     s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),

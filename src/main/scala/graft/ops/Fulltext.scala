@@ -169,6 +169,25 @@ object Fulltext {
       .select(col("doc_id"), round(col("score"), 4).as("score"))
   }
 
+  /** Engine index statistics (the `stats()`/`memory_usage` analog,
+    * /root/reference/include/usearch/index.hpp:3133-3210) — checked
+    * against direct SQL recomputation over the corpus.
+    */
+  def engStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = indexFor(spark, dir).stats
+    Seq((s.nDocs, s.totalTokens, s.nTerms, s.totalPostings))
+      .toDF("n_docs", "total_tokens", "n_terms", "total_postings")
+  }
+
+  val engStatsSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents)
+       |SELECT count(DISTINCT doc_id) AS n_docs,
+       |  count(*) AS total_tokens,
+       |  count(DISTINCT term) AS n_terms,
+       |  count(DISTINCT (doc_id, term)) AS total_postings
+       |FROM tok""".stripMargin
+
   /** Multi-generation scatter-gather (the `Indexes` analog): the corpus
     * split into two disjoint generations, searched with shared global
     * stats, merged — must match the same single-corpus SQL oracle.
