@@ -53,7 +53,8 @@ object Scaling {
         .foreach(m => System.err.println(s"[stage cpus=$cpus] ${m.stage}: ${m.elapsedMs}ms"))
 
       val searcher = new Searcher(spark, root)
-      val queries = CorpusGen.querySet(500)
+      val queries = CorpusGen.querySet(
+        sys.env.getOrElse("SPARK_GRAFT_NQUERIES", "500").toInt)
       val t1 = System.nanoTime()
       val rows = searcher.searchMany(queries, 10).collect()
       val batchSec = (System.nanoTime() - t1) / 1e9

@@ -163,11 +163,14 @@ final class Searcher(spark: SparkSession, root: String) extends Serializable {
         else {
           val dl = lensArr.head
           val byTerm = posts.toArray.groupBy(_.term)
+          // decode each term once per bucket task; all queries share it
+          val cache = new java.util.HashMap[String, graft.codec.Postings]()
           queriesB.value.iterator.flatMap { case (qid, terms) =>
             val rows = terms.flatMap(byTerm.get).flatten
             if (rows.isEmpty) Iterator.empty
             else Searcher
-              .wandBucket(rows, dl, idfB.value, avgdlLocal, 1.0, kLocal, exact = false, None)
+              .wandBucket(rows, dl, idfB.value, avgdlLocal, 1.0, kLocal,
+                exact = false, None, cache)
               .map(h => (qid, h.docId, h.score))
           }
         }
@@ -185,21 +188,28 @@ final class Searcher(spark: SparkSession, root: String) extends Serializable {
 
 object Searcher {
 
-  /** Cursor over one term's encoded blocks within a bucket. */
+  /** Cursor over one term's postings within a bucket. Two backing modes
+    * with identical visit semantics (so results are bit-identical):
+    * lazily-decoded blocks (single query — skipped blocks are never
+    * decoded) or a pre-decoded array shared across queries (batch mode —
+    * decode cost amortized over the whole query set).
+    */
   private final class Cursor(
       val term: String,
       val idf: Double,
       ubScale: Double,
-      row: PostingRow) {
-    val ub: Double = idf * row.maxTfNorm * ubScale // bucket-local term UB
-    private val blocks = row.blocks
+      maxTfNorm: Double,
+      blocks: Array[EncBlock],
+      pre: graft.codec.Postings) {
+    val ub: Double = idf * maxTfNorm * ubScale // bucket-local term UB
+    private var decoded: graft.codec.Postings = pre
     private var blockIdx = 0
-    private var decoded: graft.codec.Postings = _
     private var pos = 0
     var curDoc: Long = -1L
     var curTf: Int = 0
-    var exhausted: Boolean = blocks.isEmpty
-    if (!exhausted) { loadBlock(); advancePos() }
+    var exhausted: Boolean =
+      if (pre != null) pre.size == 0 else blocks.isEmpty
+    if (!exhausted) { if (pre == null) loadBlock() else pos = -1; advancePos() }
 
     private def loadBlock(): Unit = {
       decoded = PostingCodec.decodeBlock(blocks(blockIdx).bytes)
@@ -209,9 +219,12 @@ object Searcher {
     private def advancePos(): Unit = {
       pos += 1
       if (pos >= decoded.size) {
-        blockIdx += 1
-        if (blockIdx >= blocks.length) { exhausted = true; curDoc = Long.MaxValue }
-        else { loadBlock(); advancePos() }
+        if (pre != null) { exhausted = true; curDoc = Long.MaxValue }
+        else {
+          blockIdx += 1
+          if (blockIdx >= blocks.length) { exhausted = true; curDoc = Long.MaxValue }
+          else { loadBlock(); advancePos() }
+        }
       } else {
         curDoc = decoded.docIds(pos)
         curTf = decoded.tfs(pos)
@@ -220,12 +233,18 @@ object Searcher {
 
     def next(): Unit = if (!exhausted) advancePos()
 
-    /** Seek to the first posting with docId >= target, skipping whole
-      * blocks via their [first,last] bounds (the varbyte blocks are never
-      * decoded when skipped — the I/O-skip contract of block-max WAND).
+    /** Seek to the first posting with docId >= target. Block mode skips
+      * whole blocks via their [first,last] bounds (skipped varbyte blocks
+      * are never decoded); pre-decoded mode binary-searches.
       */
     def seek(target: Long): Unit = {
       if (exhausted || curDoc >= target) return
+      if (pre != null) {
+        val i = java.util.Arrays.binarySearch(decoded.docIds, pos + 1, decoded.size, target)
+        pos = (if (i >= 0) i else -i - 1) - 1
+        advancePos()
+        return
+      }
       while (blockIdx < blocks.length && blocks(blockIdx).last < target) {
         blockIdx += 1
         pos = -1
@@ -268,10 +287,17 @@ object Searcher {
       ubScale: Double,
       k: Int,
       exact: Boolean,
-      allow: Option[Long => Boolean]): Iterator[Hit] = {
+      allow: Option[Long => Boolean],
+      decodedCache: java.util.HashMap[String, graft.codec.Postings] = null): Iterator[Hit] = {
     // cursors in fixed sorted-term order → deterministic accumulation
     val byTerm = rows.sortBy(_.term)
-    val cursors = byTerm.map(r => new Cursor(r.term, idfByTerm(r.term), ubScale, r))
+    val cursors = byTerm.map { r =>
+      val pre =
+        if (decodedCache == null) null
+        else decodedCache.computeIfAbsent(r.term,
+          _ => PostingCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq))
+      new Cursor(r.term, idfByTerm(r.term), ubScale, r.maxTfNorm, r.blocks, pre)
+    }
     if (cursors.isEmpty) return Iterator.empty
 
     // docId → docLen within this bucket (ascending arrays → binary search)
