@@ -51,6 +51,10 @@ object SparkEntry {
     "sim_pairwise" -> Similarity.pairwiseDistance _,
     "sim_cluster_assign" -> Similarity.clusterAssign _,
     "sim_emb_neardup" -> ((s: SparkSession, d: String) => Similarity.embNearDup(s, d)),
+    // engine-only ops (not SQL-expressible → rows-only driver check;
+    // exact oracles live in KMeansSpec / SemanticJoinSpec)
+    "eng_kmeans" -> Similarity.kmeansAssign _,
+    "eng_semantic_join" -> Similarity.semanticJoin _,
     // dedup suite
     "dd_exact" -> Dedup.exact _,
     "dd_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),

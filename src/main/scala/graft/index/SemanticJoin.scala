@@ -58,10 +58,13 @@ object SemanticJoin {
         StructField("right_id", LongType),
         StructField("dist", DoubleType))))
 
-    var engaged = emptyEngaged.cache()
+    // eager localCheckpoint per round: truncates the iterative lineage
+    // (a cached-only loop accumulates a plan per round and recompute
+    // cascades blow the heap)
+    var engaged = emptyEngaged.localCheckpoint(true)
     // per-left pointer: next preference position to propose at
-    var nextPos = left.select(col("id").as("left_id")).withColumn("pos", lit(1)).cache()
-    nextPos.count()
+    var nextPos = left.select(col("id").as("left_id")).withColumn("pos", lit(1))
+      .localCheckpoint(true)
 
     var done = false
     while (!done) {
@@ -69,9 +72,8 @@ object SemanticJoin {
       // pointer past list end → exhausted, drops out of the join
       val proposals = free.join(prefs, Seq("left_id", "pos"))
         .select(col("left_id"), col("right_id"), col("dist"))
-        .cache()
+        .localCheckpoint(true)
       if (proposals.isEmpty) {
-        proposals.unpersist()
         done = true
       } else {
         val wRight = Window.partitionBy(col("right_id")).orderBy(asc("dist"), asc("left_id"))
@@ -79,22 +81,16 @@ object SemanticJoin {
           .withColumn("rnk", row_number().over(wRight))
           .where(col("rnk") === 1)
           .drop("rnk")
-          .cache()
-        newEngaged.count()
+          .localCheckpoint(true)
 
-        val advanced = nextPos
+        nextPos = nextPos
           .join(proposals.select(col("left_id"), lit(1).as("proposed")).distinct(),
             Seq("left_id"), "left")
           .select(col("left_id"),
             when(col("proposed").isNotNull, col("pos") + 1).otherwise(col("pos")).as("pos"))
-          .cache()
-        advanced.count()
+          .localCheckpoint(true)
 
-        engaged.unpersist()
-        nextPos.unpersist()
-        proposals.unpersist()
         engaged = newEngaged
-        nextPos = advanced
       }
     }
     prefs.unpersist()

@@ -112,6 +112,30 @@ object Similarity {
        |WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
 
+  /** Engine k-means (kmeans analog; not SQL-expressible — rows-only
+    * driver check; exact-oracle coverage lives in KMeansSpec).
+    */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val pts = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    graft.index.KMeans.fit(spark, pts, k = 8, iterations = 3)
+      .assignments
+      .select(col("id").as("vec_id"), col("cid").as("cluster"), round(col("dist"), 6).as("dist"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Engine semantic join (stable-marriage analog; not SQL-expressible —
+    * rows-only driver check; exact-oracle coverage in SemanticJoinSpec).
+    */
+  def semanticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val leftDf = e.where(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val rightDf = e.where(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    graft.index.SemanticJoin.join(spark, leftDf, rightDf, maxProposals = 8)
+      .select(col("left_id"), col("right_id"), round(col("dist"), 6).as("dist"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (training-pipeline dedup):
     * all pairs with cosine ≥ 0.9, i < j. Quadratic exact baseline — the
     * scale path is LSH bucketing (see Dedup.minhashLsh for the text
