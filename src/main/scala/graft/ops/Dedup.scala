@@ -50,11 +50,15 @@ object Dedup {
        |sh AS (SELECT DISTINCT doc_id,
        |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle FROM shix)""".stripMargin
 
-  /** Distinct (doc_id, shingle) pairs. */
+  /** Distinct (doc_id, shingle) pairs — cached: every consumer (counts,
+    * signatures, intersection joins) reuses one materialization instead
+    * of re-tokenizing the corpus per join branch.
+    */
   private def shingleTable(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), explode(shinglesCol(col("text"))).as("shingle"))
       .distinct()
+      .cache()
 
   // ------------------------------------------------------------------
   // exact dedup
