@@ -51,6 +51,12 @@ object SparkEntry {
     "sim_pairwise" -> Similarity.pairwiseDistance _,
     "sim_cluster_assign" -> Similarity.clusterAssign _,
     "sim_emb_neardup" -> ((s: SparkSession, d: String) => Similarity.embNearDup(s, d)),
+    // IVF ANN: the nprobe=nlist configuration probes every cell, so the
+    // full IVF machinery (kmeans partition → probe → rank) must reproduce
+    // brute-force exactly — checked against the same SQL oracle; the
+    // approximate configuration's recall is measured in IvfSpec
+    "sim_ivf_knn" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfKnn(s, d, k = 10, nlist = 8, nprobe = 8)),
     // engine-only ops (not SQL-expressible → rows-only driver check;
     // exact oracles live in KMeansSpec / SemanticJoinSpec)
     "eng_kmeans" -> Similarity.kmeansAssign _,
@@ -96,6 +102,7 @@ object SparkEntry {
     "sim_pairwise" -> Similarity.pairwiseDistanceSql,
     "sim_cluster_assign" -> Similarity.clusterAssignSql,
     "sim_emb_neardup" -> Similarity.embNearDupSql(),
+    "sim_ivf_knn" -> Similarity.knnExactSql(),
     "dd_exact" -> Dedup.exactSql,
     "dd_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     "dd_minhash_lsh" -> Dedup.minhashLshSql(),

@@ -36,10 +36,24 @@ final class Searcher(spark: SparkSession, root: String) extends Serializable {
   private val layout = IndexBuilder.Layout(root)
   val stats: IndexStats = Meta.readStats(root)
 
+  // repeated-query serving keeps the small side tables warm (the usearch
+  // `view`/in-RAM-serving analog): dictionary + norms cache on first use;
+  // postings stay on disk behind predicate/partition pruning
+  private lazy val dictDS = {
+    val d = spark.read.parquet(layout.dict).as[DictRow].cache()
+    d.count()
+    d
+  }
+  private lazy val doclensDS = {
+    val d = spark.read.parquet(layout.doclens).as[DocLenRow].cache()
+    d.count()
+    d
+  }
+
   /** Per-term df from this index's dictionary (tiny pruned read). */
   def termDfs(terms: Seq[String]): Map[String, Long] = {
     if (terms.isEmpty) return Map.empty
-    spark.read.parquet(layout.dict).as[DictRow]
+    dictDS
       .where($"term".isin(terms: _*))
       .collect()
       .map(d => d.term -> d.df)
@@ -87,7 +101,7 @@ final class Searcher(spark: SparkSession, root: String) extends Serializable {
     val touchedBuckets = postings.select($"bucket").distinct().as[Int].collect()
     if (touchedBuckets.isEmpty)
       return spark.emptyDataset[Hit].toDF("doc_id", "score")
-    val doclens = spark.read.parquet(layout.doclens).as[DocLenRow]
+    val doclens = doclensDS
       .where($"bucket".isin(touchedBuckets.toSeq: _*))
 
     val idfB = spark.sparkContext.broadcast(idfByTerm)
@@ -147,7 +161,7 @@ final class Searcher(spark: SparkSession, root: String) extends Serializable {
     val postings = spark.read.parquet(layout.segments).as[PostingRow]
       .where($"term".isin(liveTerms: _*))
     val touched = postings.select($"bucket").distinct().as[Int].collect()
-    val doclens = spark.read.parquet(layout.doclens).as[DocLenRow]
+    val doclens = doclensDS
       .where($"bucket".isin(touched.toSeq: _*))
 
     val idfB = spark.sparkContext.broadcast(idfByTerm)

@@ -112,6 +112,50 @@ object Similarity {
        |WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
 
+  /** IVF (inverted-file) approximate nearest-neighbor — the scale path
+    * for similarity search (the role HNSW plays in the reference): vectors
+    * are k-means-partitioned into `nlist` cells; a query scores ONLY the
+    * `nprobe` nearest cells, touching nprobe/nlist of the data. The exact
+    * brute-force path ([[knnExact]]) is the recall oracle (IvfSpec).
+    */
+  def ivfKnn(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 10,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      queryVecId: Long = 0L): DataFrame = {
+    val pts = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val km = graft.index.KMeans.fit(spark, pts, k = nlist, iterations = 2)
+
+    // nprobe cells nearest to the query vector (nlist rows → driver)
+    val qVec = emb(spark, dir).where(col("vec_id") === queryVecId)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val probed = km.centroids.collect()
+      .map { r =>
+        val c = r.getSeq[Double](1).toArray
+        val d = 1.0 - graft.functions.DotProduct.dot(qVec, c) /
+          (math.sqrt(graft.functions.DotProduct.dot(qVec, qVec)) *
+            math.sqrt(graft.functions.DotProduct.dot(c, c)))
+        (r.getLong(0), d)
+      }
+      .sortBy { case (cid, d) => (d, cid) }
+      .take(nprobe)
+      .map(_._1)
+
+    val q = broadcast(emb(spark, dir).where(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_embedding")))
+    km.assignments
+      .where(col("cid").isin(probed.toSeq: _*))
+      .select(col("id").as("vec_id"))
+      .join(emb(spark, dir), "vec_id")
+      .crossJoin(q)
+      .select(col("vec_id"), cosine(col("embedding"), col("q_embedding")).as("cos_raw"))
+      .orderBy(desc("cos_raw"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
   /** Engine k-means (kmeans analog; not SQL-expressible — rows-only
     * driver check; exact-oracle coverage lives in KMeansSpec).
     */

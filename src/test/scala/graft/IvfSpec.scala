@@ -1,0 +1,34 @@
+package graft
+
+import graft.ops.Similarity
+
+/** IVF ANN vs the exact brute-force oracle — the reference's recall@k
+  * measurement (/root/reference/cpp/bench.cpp:401-410,
+  * BatchMatches.mean_recall /root/reference/python/usearch/index.py:374-393).
+  */
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("IVF self-recall and recall@10 vs exact") {
+    val exact = Similarity.knnExact(spark, dir, k = 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val ivf = Similarity.ivfKnn(spark, dir, k = 10, nlist = 16, nprobe = 4)
+      .as[(Long, Double)].collect().map(_._1)
+
+    // the query vector's own cell is always probed → it finds itself
+    assert(ivf.head == 0L, s"self not at rank 1: ${ivf.toSeq}")
+    val recall = ivf.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"recall@10 too low: $recall (${ivf.toSeq})")
+    info(s"recall@10 = $recall with nprobe/nlist = 4/16 (scanning ~25% of vectors)")
+  }
+
+  test("nprobe = nlist degenerates to exact search") {
+    val exact = Similarity.knnExact(spark, dir, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    val ivf = Similarity.ivfKnn(spark, dir, k = 10, nlist = 8, nprobe = 8)
+      .as[(Long, Double)].collect().toSeq
+    assert(ivf == exact)
+  }
+}
