@@ -216,6 +216,15 @@ object Searcher {
       blocks: Array[EncBlock],
       pre: graft.codec.Postings) {
     val ub: Double = idf * maxTfNorm * ubScale // bucket-local term UB
+    private val idfScaled = idf * ubScale
+
+    /** Upper bound of this term's contribution for the CURRENT doc: the
+      * 128-posting block's max tf-norm (block mode) or the row max
+      * (pre-decoded mode — looser but still sound).
+      */
+    def curBlockUb: Double =
+      if (pre != null || exhausted) ub
+      else idfScaled * blocks(blockIdx).maxTfNorm
     private var decoded: graft.codec.Postings = pre
     private var blockIdx = 0
     private var pos = 0
@@ -344,8 +353,21 @@ object Searcher {
         } else {
           val pivotDoc = sorted(pivot).curDoc
           if (sorted.head.curDoc == pivotDoc) {
-            // all cursors before pivot sit on pivotDoc → score it fully
-            if (allow.forall(_(pivotDoc))) {
+            // block-max refinement (BMW): the sum of current-BLOCK maxima
+            // over the cursors on pivotDoc is a tighter bound than the
+            // term UBs that chose the pivot; skip scoring when it is
+            // STRICTLY below θ (score ≤ bound < θ can never tie, so the
+            // (score desc, docId asc) result set is unchanged)
+            var blockBound = 0.0
+            if (!exact) {
+              var c = 0
+              while (c < cursors.length) {
+                val cur = cursors(c)
+                if (!cur.exhausted && cur.curDoc == pivotDoc) blockBound += cur.curBlockUb
+                c += 1
+              }
+            }
+            if ((exact || blockBound >= theta) && allow.forall(_(pivotDoc))) {
               val dl = lenOf(pivotDoc)
               var s = 0.0
               // fixed term order: `cursors` (sorted by term), not `sorted`
