@@ -67,6 +67,32 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("update lifecycle: tombstone old version + ingest new version (update analog)") {
+    // the reference's `update` replaces a member in place
+    // (/root/reference/include/usearch/index.hpp:2911-2999); content-
+    // addressed ids make the Spark analog: tombstone the old commit's doc,
+    // ingest the new commit as a new doc, compact.
+    val oldId = 7L
+    val newId = n.toLong // fresh id for the updated revision
+    val newContent = "zzzupdated zzzupdated special marker content " +
+      CorpusGen.genDoc(42L, oldId).content
+    val updatedGen = tmp("upd")
+    IndexBuilder.build(spark,
+      Seq((newId, newContent)).toDF("doc_id", "content"), updatedGen, targetBuckets = 1)
+
+    val out = tmp("upd-merged")
+    SegmentMerger.merge(spark, Seq(genA, genB, updatedGen), out,
+      tombstones = Some(Seq(oldId).toDF("doc_id")), targetBuckets = 3)
+    val s = new Searcher(spark, out)
+    assert(s.stats.nDocs == n.toLong) // -1 removed, +1 added
+
+    // the new revision is findable by its marker term; the old id is gone
+    val hits = topk(s.search("zzzupdated marker", 5))
+    assert(hits.nonEmpty && hits.head._1 == newId)
+    val all = topk(s.search("def id0 id1 id2", n))
+    assert(!all.exists(_._1 == oldId))
+  }
+
   test("tombstoned merge equals a fresh build over surviving docs (remove/isolate analog)") {
     val removed = (0L until n.toLong).filter(_ % 7 == 0)
     val tombstones = removed.toDF("doc_id")
