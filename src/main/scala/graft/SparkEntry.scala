@@ -74,6 +74,7 @@ object SparkEntry {
     "ta_quality" -> TextAnalysis.quality _,
     "ta_langid" -> TextAnalysis.langId _,
     "ta_fingerprint" -> TextAnalysis.fingerprint _,
+    "ta_levenshtein" -> TextAnalysis.levenshteinPairs _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -113,5 +114,6 @@ object SparkEntry {
     "ta_quality" -> TextAnalysis.qualitySql,
     "ta_langid" -> TextAnalysis.langIdSql,
     "ta_fingerprint" -> TextAnalysis.fingerprintSql,
+    "ta_levenshtein" -> TextAnalysis.levenshteinPairsSql,
   )
 }

@@ -174,6 +174,10 @@ object IndexBuilder {
           it.foreach { r => df += r.df; if (r.maxTfNorm > mx) mx = r.maxTfNorm }
           DictRow(term, df, mx)
         }
+        // range-partitioned, term-sorted dictionary: per-query term
+        // lookups prune to one file + one row group via min/max stats
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term"))
         .write.mode(SaveMode.Overwrite).parquet(layout.dict)
 
       val agg = spark.read.parquet(layout.dict).as[DictRow]

@@ -100,6 +100,27 @@ object TextAnalysis {
        |  CASE WHEN n_stop::DOUBLE / n_tokens::DOUBLE >= 0.02 THEN 'en' ELSE 'unknown' END AS lang_guess
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** String edit-distance between consecutive docs' source tags — the
+    * reference's Levenshtein SQL function analog
+    * (/root/reference/sqlite/lib.cpp:209-267, distance_levenshtein_bytes):
+    * classic edit distance is builtin in both engines.
+    */
+  def levenshteinPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val a = d.where(col("doc_id") < 50)
+      .select(col("doc_id").as("left_id"), col("source").as("sa"))
+    val b = d.select(col("doc_id").as("right_id"), col("source").as("sb"))
+    a.join(b, col("right_id") === col("left_id") + 1)
+      .select(col("left_id"),
+        graft.functions.Distances.levenshteinDistance(col("sa"), col("sb")).as("lev"))
+      .orderBy(col("left_id"))
+  }
+
+  val levenshteinPairsSql: String =
+    """SELECT a.doc_id AS left_id, levenshtein(a.source, b.source) AS lev
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |WHERE a.doc_id < 50 ORDER BY left_id""".stripMargin
+
   /** Document fingerprint: md5 over the normalized token stream — the
     * canonical-content identity used for dedup/lineage (whitespace/punct
     * insensitive, unlike the raw-content sha256 integrity column).
