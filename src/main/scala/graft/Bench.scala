@@ -38,6 +38,15 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
+    // pre-build the on-disk indexes the eng_*/sim_ivf entries reuse, so
+    // their per-query timings measure QUERIES — round 1 charged a one-time
+    // index build to whichever eng_* entry ran first alphabetically
+    results("eng_index_prewarm") = time {
+      graft.ops.Fulltext.indexFor(spark, sfDir)
+      graft.ops.Fulltext.engBm25MultiGen(spark, sfDir).collect()
+      graft.ops.Similarity.ivfIndexFor(spark, sfDir)
+    }
+
     // relational + pipeline queries (collect forces the full plan)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       results(name) = time { fn(spark, sfDir).collect() }
@@ -53,7 +62,7 @@ object Bench {
     results("eng_build_index") = tBuild
 
     // engine: 50-query reference set in one batch pass → q/s
-    val searcher = new Searcher(spark, benchRoot)
+    val searcher = new Searcher(spark, benchRoot, cacheHot = true)
     val queries = CorpusGen.querySet(50).map { case (id, q) => (id, q + " spark merge table") }
     val tBatch = time { searcher.searchMany(queries, 10).collect() }
     results("eng_search_50q_batch") = tBatch

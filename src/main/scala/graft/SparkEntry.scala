@@ -57,10 +57,13 @@ object SparkEntry {
     // approximate configuration's recall is measured in IvfSpec
     "sim_ivf_knn" -> ((s: SparkSession, d: String) =>
       Similarity.ivfKnn(s, d, k = 10, nlist = 8, nprobe = 8)),
-    // engine-only ops (not SQL-expressible → rows-only driver check;
-    // exact oracles live in KMeansSpec / SemanticJoinSpec)
+    // engine clustering + stable-marriage join, both with FULL SQL
+    // oracles (the determinism discipline makes the iterations
+    // expressible: unrolled CTEs / a recursive CTE)
     "eng_kmeans" -> Similarity.kmeansAssign _,
     "eng_semantic_join" -> Similarity.semanticJoin _,
+    // batch cluster API (merge-smallest-k refinement + chain resolution)
+    "sim_batch_cluster" -> ((s: SparkSession, d: String) => ops.BatchCluster.cluster(s, d)),
     // dedup suite
     "dd_exact" -> Dedup.exact _,
     "dd_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -104,6 +107,9 @@ object SparkEntry {
     "sim_cluster_assign" -> Similarity.clusterAssignSql,
     "sim_emb_neardup" -> Similarity.embNearDupSql(),
     "sim_ivf_knn" -> Similarity.knnExactSql(),
+    "eng_kmeans" -> Similarity.kmeansAssignSql,
+    "eng_semantic_join" -> Similarity.semanticJoinSql,
+    "sim_batch_cluster" -> ops.BatchCluster.clusterSql(),
     "dd_exact" -> Dedup.exactSql,
     "dd_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     "dd_minhash_lsh" -> Dedup.minhashLshSql(),

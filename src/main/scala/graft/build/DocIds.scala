@@ -32,9 +32,16 @@ object DocIds {
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val cols = sortCols.map(col)
+    // persisted between the two passes: the count pass and the id pass
+    // MUST see identical partition boundaries, and re-running
+    // repartitionByRange would re-sample the input — deterministic in
+    // practice, but correctness should not hinge on sampler stability.
+    // (Unpersist is left to Spark's ContextCleaner once the returned
+    // plan is unreferenced; callers consume the result immediately.)
     val sorted = df
       .repartitionByRange(parts, cols: _*)
       .sortWithinPartitions(cols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // pass 1: rows per partition, in partition order
     val counts = sorted

@@ -39,9 +39,31 @@ object Distances {
     when(uni === 0.0, lit(0.0)).otherwise(lit(1.0) - inter / uni)
   }
 
-  /** `metric_tanimoto_gt` / `metric_sorensen_gt` over sets (:1420-1478):
-    * bitwise popcount variants in the reference; set-cardinality form here.
+  /** `metric_tanimoto_gt` (:1420-1446): 1 − popcount(a∧b)/popcount(a∨b)
+    * over packed bit words (molecular-fingerprint form).
     */
+  def tanimotoBits(a: Column, b: Column): Column = {
+    val inter = bit_count(a.bitwiseAND(b)).cast("double")
+    val uni = bit_count(a.bitwiseOR(b)).cast("double")
+    when(uni === 0.0, lit(0.0)).otherwise(lit(1.0) - inter / uni)
+  }
+
+  /** `metric_tanimoto_gt` over sets → Spark arrays: same intersection-
+    * over-union ratio via set cardinalities (identical to Jaccard
+    * distance on sets — the bitset and set forms coincide there).
+    */
+  def tanimotoDistance(a: Column, b: Column): Column = jaccardDistance(a, b)
+
+  /** `metric_sorensen_gt` (:1448-1478): 1 − 2·popcount(a∧b)/(popcount(a)
+    * + popcount(b)) over packed bit words.
+    */
+  def sorensenBits(a: Column, b: Column): Column = {
+    val inter = bit_count(a.bitwiseAND(b)).cast("double")
+    val total = (bit_count(a) + bit_count(b)).cast("double")
+    when(total === 0.0, lit(0.0)).otherwise(lit(1.0) - lit(2.0) * inter / total)
+  }
+
+  /** `metric_sorensen_gt` over sets (:1448-1478): set-cardinality form. */
   def sorensenDistance(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val total = (size(a) + size(b)).cast("double")

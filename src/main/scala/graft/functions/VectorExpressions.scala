@@ -34,7 +34,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val acc = ctx.freshName("acc")
       s"""
          |double $acc = 0.0;
-         |int $n = $a.numElements();
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}

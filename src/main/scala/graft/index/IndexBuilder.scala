@@ -92,10 +92,25 @@ object IndexBuilder {
       Files.writeString(layout.statusFile(stage), s"rows=$rows")
     }
 
-    val buckets =
-      if (targetBuckets > 0) targetBuckets
-      else math.max(1, math.min(spark.sparkContext.defaultParallelism, (nDocs / 64L).toInt + 1))
-    val bucketSize = math.max(1L, (nDocs + buckets - 1) / buckets)
+    // bucket geometry is part of the index identity: persisted BEFORE the
+    // first stage commit, so a resumed partial build — possibly under a
+    // different core count (Verify runs 4 CPUs, Bench 32, same index
+    // roots) — keeps the exact bucketSize the committed stages were
+    // written with instead of recomputing it from defaultParallelism
+    val geomPath = Paths.get(root, "geometry.properties")
+    val (buckets, bucketSize) =
+      if (Files.exists(geomPath)) {
+        val kv = Files.readString(geomPath).linesIterator.filter(_.contains("="))
+          .map { l => val Array(k, v) = l.split("=", 2); (k, v) }.toMap
+        (kv("buckets").toInt, kv("bucketSize").toLong)
+      } else {
+        val b =
+          if (targetBuckets > 0) targetBuckets
+          else math.max(1, math.min(spark.sparkContext.defaultParallelism, (nDocs / 64L).toInt + 1))
+        val bs = math.max(1L, (nDocs + b - 1) / b)
+        Files.writeString(geomPath, s"buckets=$b\nbucketSize=$bs\n")
+        (b, bs)
+      }
 
     // ---- stage 1: persist the tf table ---------------------------------
     if (!committed("tokens")) {

@@ -1,8 +1,8 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
 
 import graft.ops.Similarity
 
@@ -13,27 +13,55 @@ import graft.ops.Similarity
   * via posexplode + per-dimension aggregation.
   *
   * Determinism discipline (matches the engine's rank-identity rules):
-  * init = first k points by id; assignment ties broken by centroid id;
-  * centroid update sums each dimension over SORTED member values, so the
-  * double accumulation order is data-defined, not task-defined — the
-  * in-memory oracle reproduces it bit-for-bit (KMeansSpec).
+  * init = first k points by id (k rows collected to the driver — no
+  * global single-partition window); assignment ties broken by centroid
+  * id; centroid sums accumulate in a data-defined order independent of
+  * parallelism, via a TWO-LEVEL sorted-segment sum:
+  *
+  *   level 1: within each fixed id-range segment (`id div rangeSize`),
+  *            sum the dimension's values in ascending value order;
+  *   level 2: sum the segment sums in ascending segment order.
+  *
+  * Every materialized list is bounded — `rangeSize` values at level 1,
+  * `n / rangeSize` partial sums at level 2 — unlike a single
+  * collect_list of a whole cluster's values, which is one unbounded row
+  * per (cid, dim) and OOMs at scale. At the default rangeSize (2²⁰) both
+  * levels stay ≤ 8 MB per row up to ~10¹² docs. Test scales have a
+  * single segment, where the order degenerates to the plain sorted sum
+  * (the KMeansSpec oracle recipe).
   */
 object KMeans {
 
   final case class Result(centroids: DataFrame, assignments: DataFrame, inertia: Double)
 
+  final val DefaultRangeSize: Long = 1L << 20
+
   /** @param points DataFrame(id: Long, vec: Array[Float|Double]) */
-  def fit(spark: SparkSession, points: DataFrame, k: Int, iterations: Int): Result = {
+  def fit(
+      spark: SparkSession,
+      points: DataFrame,
+      k: Int,
+      iterations: Int,
+      rangeSize: Long = DefaultRangeSize): Result = {
+    import org.apache.spark.sql.expressions.Window
     val pts = points
       .select(col("id"), col("vec").cast("array<double>").as("vec"))
       .cache()
     pts.count()
 
-    // deterministic init: the k lowest-id points
-    var centroids = pts.orderBy(col("id")).limit(k)
-      .select((row_number().over(Window.orderBy(col("id"))).cast("long") - 1).as("cid"),
-        col("vec").as("cvec"))
-      .cache()
+    // deterministic init: the k lowest-id points, ranked on the DRIVER
+    // (≤ k rows) — a partition-less Window here would funnel the init
+    // scan through a single task
+    val initRows = pts.orderBy(col("id")).limit(k).collect()
+      .sortBy(_.getLong(0))
+    val centroidSchema = StructType(Seq(
+      StructField("cid", LongType, nullable = false),
+      StructField("cvec", ArrayType(DoubleType), nullable = false)))
+    def mkCentroids(rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), centroidSchema)
+    var centroids = mkCentroids(
+      initRows.zipWithIndex.map { case (r, i) => Row(i.toLong, r.getSeq[Double](1)) }
+        .toSeq).cache()
     centroids.count()
 
     val wAssign = Window.partitionBy(col("id")).orderBy(asc("dist"), asc("cid"))
@@ -51,13 +79,22 @@ object KMeans {
     while (it < iterations) {
       it += 1
       val assigned = assign(centroids)
-      // per-dimension mean over sorted member values (deterministic sum)
+      // two-level deterministic mean (see scaladoc): segment sums in
+      // value order, then segment order — all rows bounded
       val updated = assigned
-        .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .select(col("cid"), expr(s"id div ${rangeSize}L").as("rng"),
+          posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"), col("rng"))
+        .agg(
+          aggregate(sort_array(collect_list(col("x"))), lit(0.0), (a, v) => a + v).as("rsum"),
+          count(lit(1)).as("rn"))
         .groupBy(col("cid"), col("dim"))
-        .agg(sort_array(collect_list(col("x"))).as("xs"), count(lit(1)).as("n"))
-        .withColumn("mean",
-          aggregate(col("xs"), lit(0.0), (acc, v) => acc + v) / col("n").cast("double"))
+        .agg(
+          aggregate(
+            expr("transform(array_sort(collect_list(struct(rng, rsum))), p -> p.rsum)"),
+            lit(0.0), (a, v) => a + v).as("s"),
+          sum(col("rn")).as("n"))
+        .withColumn("mean", col("s") / col("n").cast("double"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("dm"))
         .select(col("cid"), expr("transform(dm, p -> p.mean)").as("newvec"))

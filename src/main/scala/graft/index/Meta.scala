@@ -30,11 +30,38 @@ object Meta {
       kv("totalPostings").toLong, kv("bucketSize").toLong, kv("nBuckets").toInt)
   }
 
+  /** JSON string escape — stage/path values may contain quotes or
+    * backslashes; unescaped interpolation would corrupt the JSONL.
+    */
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c => c.toString
+    }
+
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) {
+        sb.append(s(i + 1) match {
+          case 'n' => '\n'; case 'r' => '\r'; case 't' => '\t'; case c => c
+        })
+        i += 2
+      } else { sb.append(s(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   def appendManifest(root: String, rows: Seq[ManifestRow]): Unit = {
     val sb = new StringBuilder
     rows.foreach { m =>
-      sb.append(s"""{"snapshotId":${m.snapshotId},"stage":"${m.stage}","partitionId":${m.partitionId},""" +
-        s""""path":"${m.path}","rows":${m.rows},"elapsedMs":${m.elapsedMs},"status":"${m.status}"}""").append('\n')
+      sb.append(s"""{"snapshotId":${m.snapshotId},"stage":"${esc(m.stage)}","partitionId":${m.partitionId},""" +
+        s""""path":"${esc(m.path)}","rows":${m.rows},"elapsedMs":${m.elapsedMs},"status":"${esc(m.status)}"}""").append('\n')
     }
     Files.writeString(Paths.get(root, "manifest.jsonl"), sb.toString,
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
@@ -44,7 +71,9 @@ object Meta {
     val p = Paths.get(root, "manifest.jsonl")
     if (!Files.exists(p)) Seq.empty
     else Files.readString(p).linesIterator.filter(_.nonEmpty).map { l =>
-      def str(k: String) = s""""$k":"([^"]*)"""".r.findFirstMatchIn(l).map(_.group(1)).getOrElse("")
+      // value regex stops at the first UNESCAPED quote
+      def str(k: String) = s""""$k":"((?:[^"\\\\]|\\\\.)*)"""".r
+        .findFirstMatchIn(l).map(m => unesc(m.group(1))).getOrElse("")
       def num(k: String) = s""""$k":(-?\\d+)""".r.findFirstMatchIn(l).map(_.group(1).toLong).getOrElse(0L)
       ManifestRow(num("snapshotId"), str("stage"), num("partitionId").toInt,
         str("path"), num("rows"), num("elapsedMs"), str("status"))

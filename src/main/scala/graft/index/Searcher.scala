@@ -30,24 +30,27 @@ import graft.query.Bm25
   * mirrors `index_search_config_t.exact`
   * (/root/reference/include/usearch/index.hpp:1436-1437).
   */
-final class Searcher(spark: SparkSession, root: String) extends Serializable {
+final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = false)
+  extends Serializable {
   import spark.implicits._
 
   private val layout = IndexBuilder.Layout(root)
   val stats: IndexStats = Meta.readStats(root)
 
-  // repeated-query serving keeps the small side tables warm (the usearch
-  // `view`/in-RAM-serving analog): dictionary + norms cache on first use;
-  // postings stay on disk behind predicate/partition pruning
+  // Default: every dictionary/doclen access is a PRUNED Parquet read —
+  // `term IN (...)` pushdown against the range-partitioned term-sorted
+  // dictionary touches one file + one row group, and at 10¹² docs the
+  // dictionary never needs to fit in RAM. `cacheHot = true` is the
+  // opt-in repeated-query serving mode (the usearch `view`/in-RAM
+  // analog) that pins the small side tables in memory — for bounded
+  // indexes served hot, not the scale default.
   private lazy val dictDS = {
-    val d = spark.read.parquet(layout.dict).as[DictRow].cache()
-    d.count()
-    d
+    val d = spark.read.parquet(layout.dict).as[DictRow]
+    if (cacheHot) { val c = d.cache(); c.count(); c } else d
   }
   private lazy val doclensDS = {
-    val d = spark.read.parquet(layout.doclens).as[DocLenRow].cache()
-    d.count()
-    d
+    val d = spark.read.parquet(layout.doclens).as[DocLenRow]
+    if (cacheHot) { val c = d.cache(); c.count(); c } else d
   }
 
   /** Per-term df from this index's dictionary (tiny pruned read). */
@@ -113,13 +116,20 @@ final class Searcher(spark: SparkSession, root: String) extends Serializable {
 
     val perBucket = postings
       .groupByKey(_.bucket)
-      .cogroup(doclens.groupByKey(_.bucket)) { (_, posts, lens) =>
+      .cogroup(doclens.groupByKey(_.bucket)) { (bucket, posts, lens) =>
+        val postsArr = posts.toArray
         val lensArr = lens.toArray
-        if (lensArr.isEmpty) Iterator.empty
+        if (postsArr.isEmpty) Iterator.empty
+        else if (lensArr.isEmpty)
+          // postings without a norms row is index corruption (e.g. a
+          // bucketSize mismatch from a bad resume) — fail loudly instead
+          // of silently dropping the bucket's hits
+          throw new IllegalStateException(
+            s"index invariant violated: bucket $bucket has postings but no doclens row ($root)")
         else {
           val dl = lensArr.head
           Searcher.wandBucket(
-            posts.toArray, dl, idfB.value, avgdlLocal, ubScaleLocal,
+            postsArr, dl, idfB.value, avgdlLocal, ubScaleLocal,
             kLocal, exactLocal, allowB.value)
         }
       }
@@ -171,12 +181,16 @@ final class Searcher(spark: SparkSession, root: String) extends Serializable {
 
     val perBucket = postings
       .groupByKey(_.bucket)
-      .cogroup(doclens.groupByKey(_.bucket)) { (_, posts, lens) =>
+      .cogroup(doclens.groupByKey(_.bucket)) { (bucket, posts, lens) =>
+        val postsArr = posts.toArray
         val lensArr = lens.toArray
-        if (lensArr.isEmpty) Iterator.empty
+        if (postsArr.isEmpty) Iterator.empty
+        else if (lensArr.isEmpty)
+          throw new IllegalStateException(
+            s"index invariant violated: bucket $bucket has postings but no doclens row ($root)")
         else {
           val dl = lensArr.head
-          val byTerm = posts.toArray.groupBy(_.term)
+          val byTerm = postsArr.groupBy(_.term)
           // decode each term once per bucket task; all queries share it
           val cache = new java.util.HashMap[String, graft.codec.Postings]()
           queriesB.value.iterator.flatMap { case (qid, terms) =>

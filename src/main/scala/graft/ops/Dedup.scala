@@ -238,15 +238,35 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** SimHash near-dup candidates: pairs whose 32-bit simhash differs in
-    * ≤ `maxBits` bits (bit_count(xor)) — the constant-time candidate
-    * filter simhash exists for.
+  /** Number of 8-bit bands the 32-bit simhash is split into for the
+    * banded candidate join.
+    */
+  final val SimhashBands = 4
+
+  /** SimHash near-dup pairs: 32-bit simhash differing in ≤ `maxBits`
+    * bits. Candidate generation is BANDED, not all-pairs: the simhash is
+    * split into 4×8-bit bands and candidates are equi-joined per band —
+    * by pigeonhole, ≤ 3 differing bits means at least one of the 4 bands
+    * is bit-identical, so recall is EXACT for maxBits ≤ 3 while the join
+    * only ever touches bucket-mates (the all-pairs `left_id < right_id`
+    * non-equi join this replaces was O(n²) candidate generation).
+    * Verification filters candidates with the true `bit_count(xor)`.
     */
   def simhashHamming(spark: SparkSession, dir: String, maxBits: Int = 3): DataFrame = {
+    require(maxBits < SimhashBands,
+      s"banded recall is exact only for maxBits < $SimhashBands (pigeonhole)")
     val sh = simhash(spark, dir)
-    val a = sh.select(col("doc_id").as("left_id"), col("simhash").as("ha"))
-    val b = sh.select(col("doc_id").as("right_id"), col("simhash").as("hb"))
-    a.join(b, col("left_id") < col("right_id"))
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimhashBands).map(b =>
+        expr(s"(simhash div ${1L << (8 * b)}) % 256")): _*)).as(Seq("band", "bv")))
+    val a = banded.select(col("doc_id").as("left_id"), col("simhash").as("ha"),
+      col("band"), col("bv"))
+    val b = banded.select(col("doc_id").as("right_id"), col("simhash").as("hb"),
+      col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .where(col("left_id") < col("right_id"))
+      .select(col("left_id"), col("right_id"), col("ha"), col("hb"))
+      .distinct()
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .where(col("hamming") <= maxBits)
       .select(col("left_id"), col("right_id"), col("hamming").cast("int").as("hamming"))
