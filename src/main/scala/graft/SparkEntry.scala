@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Dedup, Fulltext, Relational, Similarity, TextAnalysis, UsearchOps}
+import graft.ops.{Dedup, Fulltext, MultiVector, Relational, Similarity, TextAnalysis, UsearchOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,6 +48,13 @@ object SparkEntry {
     "sim_knn_exact" -> ((s: SparkSession, d: String) => Similarity.knnExact(s, d)),
     "sim_knn_filtered" -> ((s: SparkSession, d: String) =>
       Similarity.knnExact(s, d, labelFilter = Some(3))),
+    "sim_knn_batch" -> ((s: SparkSession, d: String) => Similarity.knnExactMany(s, d)),
+    "sim_knn_i8" -> ((s: SparkSession, d: String) => Similarity.knnI8(s, d)),
+    "sim_recall_i8" -> Similarity.recallI8 _,
+    "sim_knn_metric" -> ((s: SparkSession, d: String) =>
+      Similarity.knnWithMetric(s, d, graft.functions.Metric.Cos)),
+    "mv_count" -> MultiVector.mvCount _,
+    "mv_distance" -> MultiVector.mvDistance _,
     "sim_pairwise" -> Similarity.pairwiseDistance _,
     "sim_cluster_assign" -> Similarity.clusterAssign _,
     "sim_emb_neardup" -> ((s: SparkSession, d: String) => Similarity.embNearDup(s, d)),
@@ -110,6 +117,12 @@ object SparkEntry {
     "eng_kmeans" -> Similarity.kmeansAssignSql,
     "eng_semantic_join" -> Similarity.semanticJoinSql,
     "sim_batch_cluster" -> ops.BatchCluster.clusterSql(),
+    "sim_knn_batch" -> Similarity.knnExactManySql(),
+    "sim_knn_i8" -> Similarity.knnI8Sql(),
+    "sim_recall_i8" -> Similarity.recallI8Sql,
+    "sim_knn_metric" -> Similarity.knnWithMetricCosSql(),
+    "mv_count" -> MultiVector.mvCountSql,
+    "mv_distance" -> MultiVector.mvDistanceSql,
     "dd_exact" -> Dedup.exactSql,
     "dd_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     "dd_minhash_lsh" -> Dedup.minhashLshSql(),

@@ -57,6 +57,31 @@ object Meta {
     sb.toString
   }
 
+  /** `memory_usage` / `serialized_length` analog
+    * (/root/reference/c/usearch.h:139-252): on-disk byte sizes per index
+    * component from filesystem metadata — no data scan (the sizes live
+    * in the directory listings the Parquet reader consults anyway).
+    */
+  def byteSizes(root: String): Seq[(String, Long, Long)] = {
+    def sizeOf(dir: java.nio.file.Path): (Long, Long) = {
+      if (!Files.exists(dir)) return (0L, 0L)
+      val s = Files.walk(dir)
+      try {
+        var files = 0L
+        var bytes = 0L
+        s.filter(Files.isRegularFile(_)).forEach { p =>
+          files += 1
+          bytes += Files.size(p)
+        }
+        (files, bytes)
+      } finally s.close()
+    }
+    Seq("tokens", "segments", "doclens", "dict").map { c =>
+      val (files, bytes) = sizeOf(Paths.get(root, c))
+      (c, files, bytes)
+    }
+  }
+
   def appendManifest(root: String, rows: Seq[ManifestRow]): Unit = {
     val sb = new StringBuilder
     rows.foreach { m =>

@@ -53,6 +53,14 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     if (cacheHot) { val c = d.cache(); c.count(); c } else d
   }
 
+  /** `memory_usage`/`serialized_length` analog: per-component on-disk
+    * sizes (component, files, bytes) from filesystem metadata only.
+    */
+  def memoryUsage(): DataFrame = {
+    import spark.implicits._
+    Meta.byteSizes(root).toDF("component", "files", "bytes")
+  }
+
   /** Per-term df from this index's dictionary (tiny pruned read). */
   def termDfs(terms: Seq[String]): Map[String, Long] = {
     if (terms.isEmpty) return Map.empty

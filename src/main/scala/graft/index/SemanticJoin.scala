@@ -20,9 +20,12 @@ import graft.ops.Similarity
   * exactly the sequential male-optimal matching (verified against the
   * in-memory oracle in SemanticJoinSpec):
   *
-  *   prefs: cross-score → per-left top-M candidate list [at 100 TB the
-  *     candidate lists come from the engine's own top-k search instead of
-  *     a cross join — same downstream algorithm]
+  *   prefs: per-left top-M candidate lists from the engine's own grouped
+  *     top-k primitive ([[graft.functions.TopKAgg]]): scoring still
+  *     visits every (l, r) pair (it is an EXACT search), but the bounded
+  *     buffers partial-aggregate map-side, so the shuffle moves
+  *     O(n·partitions·M) buffers — never the O(n²) scored rows a window
+  *     over the cross join would shuffle
   *   round: every free left proposes at its list pointer; per right keep
   *     min (distance, leftId) among proposals ∪ engagements [one window];
   *     proposers advance their pointer. Stop when nobody can propose.
@@ -39,15 +42,18 @@ object SemanticJoin {
       right: DataFrame,
       maxProposals: Int): DataFrame = {
 
-    // preference lists: per-left top-M by (dist, right_id)
+    // preference lists: per-left top-M by (dist, right_id), via the
+    // bounded top-k aggregate (map-side partial → O(n·M) shuffle)
     val scored = left.select(col("id").as("left_id"), col("vec").as("lv"))
       .crossJoin(right.select(col("id").as("right_id"), col("vec").as("rv")))
       .select(col("left_id"), col("right_id"),
         (lit(1.0) - Similarity.cosine(col("lv"), col("rv"))).as("dist"))
-    val wPref = Window.partitionBy(col("left_id")).orderBy(asc("dist"), asc("right_id"))
     val prefs = scored
-      .withColumn("pos", row_number().over(wPref))
-      .where(col("pos") <= maxProposals)
+      .groupBy(col("left_id"))
+      .agg(graft.functions.TopKAgg.least(col("dist"), col("right_id"), maxProposals).as("cands"))
+      .select(col("left_id"), posexplode(col("cands")).as(Seq("pos0", "c")))
+      .select(col("left_id"), (col("pos0") + 1).as("pos"),
+        col("c.id").as("right_id"), col("c.score").as("dist"))
       .cache()
     prefs.count()
 

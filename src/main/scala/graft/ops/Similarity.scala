@@ -61,6 +61,108 @@ object Similarity {
        |LIMIT $k""".stripMargin
   }
 
+  /** i8-quantized exact top-k — quantized storage + search, the
+    * reference's headline memory/downcasting feature
+    * (/root/reference/README.md:249-269; casts
+    * index_plugins.hpp:1170-1191). Integer dot products ≤ 127²·dim stay
+    * exactly representable in doubles, so the quantized scores are
+    * bit-identical cross-engine by construction. Recall vs the f64 exact
+    * path is gated in QuantizeSpec and exported by [[recallI8]].
+    */
+  def knnI8(spark: SparkSession, dir: String, k: Int = 10,
+      queryVecId: Long = 0L): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), graft.functions.Quantize.i8(col("embedding")).as("qv"))
+    val q = broadcast(e.where(col("vec_id") === queryVecId).select(col("qv").as("qq")))
+    e.crossJoin(q)
+      .select(col("vec_id"), cosine(col("qv"), col("qq")).as("cos_raw"))
+      .orderBy(desc("cos_raw"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
+  def knnI8Sql(k: Int = 10, queryVecId: Long = 0L): String =
+    s"""WITH qe AS (SELECT vec_id, ${graft.functions.Quantize.i8Sql("embedding")} AS qv FROM embeddings),
+       |q AS (SELECT qv AS qq FROM qe WHERE vec_id = $queryVecId)
+       |SELECT vec_id, round(${cosineSql("qv", "qq")}, 6) AS cos_sim
+       |FROM qe, q ORDER BY ${cosineSql("qv", "qq")} DESC, vec_id LIMIT $k""".stripMargin
+
+  /** recall@10 of the i8-quantized ranking vs the f64 exact ranking, in
+    * integer basis points (the reference's recall-per-dtype table,
+    * README.md:258-264, as a measurable driver entry).
+    */
+  def recallI8(spark: SparkSession, dir: String): DataFrame =
+    graft.eval.Eval.recallBp(spark,
+      knnI8(spark, dir), knnExact(spark, dir), "vec_id", 10)
+
+  def recallI8Sql: String =
+    s"""WITH qe AS (SELECT vec_id, ${graft.functions.Quantize.i8Sql("embedding")} AS qv FROM embeddings),
+       |q AS (SELECT qv AS qq FROM qe WHERE vec_id = 0),
+       |i8 AS (SELECT vec_id FROM qe, q ORDER BY ${cosineSql("qv", "qq")} DESC, vec_id LIMIT 10),
+       |qx AS (SELECT embedding AS xq FROM embeddings WHERE vec_id = 0),
+       |ex AS (SELECT vec_id FROM embeddings, qx
+       |       ORDER BY ${cosineSql("embedding", "xq")} DESC, vec_id LIMIT 10)
+       |SELECT 10 AS k, CAST(count(*) * 1000 AS BIGINT) AS recall_bp
+       |FROM i8 JOIN ex USING (vec_id)""".stripMargin
+
+  /** Batched multi-query exact kNN — the embedding-side `searchMany`
+    * (the reference's `exact_search_t` scores MANY queries in one pass,
+    * /root/reference/include/usearch/index_plugins.hpp:2071-2164): one
+    * scan of the vectors against the broadcast query set, grouped
+    * bounded top-k ([[graft.functions.TopKAgg]], map-side partial agg —
+    * shuffle is O(queries · partitions · k), never the scored rows).
+    */
+  def knnExactMany(spark: SparkSession, dir: String,
+      nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val e = emb(spark, dir)
+    val q = broadcast(e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    e.crossJoin(q)
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("qv")).as("cos_raw"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.greatest(col("cos_raw"), col("vec_id"), k).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("rnk0", "h")))
+      .select(col("query_id"), (col("rnk0") + 1).as("rank"),
+        col("h.id").as("vec_id"), round(col("h.score"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def knnExactManySql(nQueries: Int = 5, k: Int = 10): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $nQueries),
+       |s AS (SELECT q.query_id, e.vec_id, ${cosineSql("e.embedding", "q.qv")} AS cos_raw,
+       |        row_number() OVER (PARTITION BY q.query_id
+       |          ORDER BY ${cosineSql("e.embedding", "q.qv")} DESC, e.vec_id) AS rnk
+       |      FROM embeddings e CROSS JOIN q)
+       |SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, round(cos_raw, 6) AS cos_sim
+       |FROM s WHERE rnk <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Exact top-k under any declared [[graft.functions.Metric]] — the
+    * user-defined-metric entry point (`metric_punned_t` registration
+    * analog): any Metric instance, user-supplied or built-in, drops into
+    * the same plan (distance asc, id asc).
+    */
+  def knnWithMetric(spark: SparkSession, dir: String,
+      metric: graft.functions.Metric, k: Int = 10, queryVecId: Long = 0L): DataFrame = {
+    val e = emb(spark, dir)
+    val q = broadcast(e.where(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_embedding")))
+    e.crossJoin(q)
+      .select(col("vec_id"),
+        metric(col("embedding"), col("q_embedding")).as("dist_raw"))
+      .orderBy(asc("dist_raw"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), (round(col("dist_raw"), 6) + lit(0.0)).as("dist"))
+  }
+
+  /** Oracle for [[knnWithMetric]] with the built-in cos metric. */
+  def knnWithMetricCosSql(k: Int = 10, queryVecId: Long = 0L): String =
+    s"""WITH q AS (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = $queryVecId)
+       |SELECT vec_id, round(1.0 - ${cosineSql("embedding", "q_embedding")}, 6) + 0.0 AS dist
+       |FROM embeddings, q
+       |ORDER BY 1.0 - ${cosineSql("embedding", "q_embedding")}, vec_id
+       |LIMIT $k""".stripMargin
+
   /** Pairwise distance over aligned key arrays (`pairwise_distance`
     * analog): cosine distance between (2i, 2i+1) pairs, vec_id < 40.
     */

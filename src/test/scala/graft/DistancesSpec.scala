@@ -38,6 +38,24 @@ class DistancesSpec extends SparkSpec {
     val s2 = typedLit(Seq(3, 4, 5))
     assert(math.abs(eval1(Distances.jaccardDistance(s1, s2)) - (1.0 - 2.0 / 5.0)) < 1e-12)
     assert(math.abs(eval1(Distances.sorensenDistance(s1, s2)) - (1.0 - 4.0 / 7.0)) < 1e-12)
+    // tanimoto over sets coincides with jaccard distance
+    assert(eval1(Distances.tanimotoDistance(s1, s2)) ==
+      eval1(Distances.jaccardDistance(s1, s2)))
+  }
+
+  test("tanimoto / sorensen over packed bit words (fingerprint form)") {
+    // a = 0b1101 (bits {0,2,3}), b = 0b0110 (bits {1,2}):
+    // and = {2} (1 bit), or = {0,1,2,3} (4 bits), |a|=3, |b|=2
+    val df = Seq((13L, 6L)).toDF("x", "y")
+    val tan = df.select(Distances.tanimotoBits(col("x"), col("y")).as("t"))
+      .head().getDouble(0)
+    assert(math.abs(tan - (1.0 - 1.0 / 4.0)) < 1e-12)
+    val sor = df.select(Distances.sorensenBits(col("x"), col("y")).as("s"))
+      .head().getDouble(0)
+    assert(math.abs(sor - (1.0 - 2.0 * 1.0 / 5.0)) < 1e-12)
+    // all-zero guard
+    val z = Seq((0L, 0L)).toDF("x", "y")
+    assert(z.select(Distances.tanimotoBits(col("x"), col("y"))).head().getDouble(0) == 0.0)
   }
 
   test("pearson distance matches corr") {

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.eval.Eval
+import graft.functions.{Metric, Quantize, TopKAgg}
+import graft.ops.Similarity
+
+/** Quantization recall gates (the reference's per-dtype recall table,
+  * /root/reference/README.md:249-269), the TopK aggregate vs a window
+  * oracle, the declared-metric registry, eval utilities, and byte-size
+  * introspection.
+  */
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("i8 quantization: values in [-127,127], recall@10 >= 0.9 vs f64 exact") {
+    val q = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(Quantize.i8($"embedding").as("qv"))
+    val mm = q.select(explode($"qv").as("x")).agg(min($"x"), max($"x")).head()
+    assert(mm.getLong(0) >= -127 && mm.getLong(1) <= 127)
+
+    val exact = Similarity.knnExact(spark, dir, k = 10)
+    val i8 = Similarity.knnI8(spark, dir, k = 10)
+    val recall = Eval.recallAt(i8, exact, "vec_id", 10)
+    info(s"i8 recall@10 = $recall")
+    assert(recall >= 0.9, s"i8 recall@10 too low: $recall")
+  }
+
+  test("b1 binary quantization packs sign bits") {
+    val rows = Seq(
+      (1L, Array(1.0, -1.0, 0.5, 0.0)),
+      (2L, Array(-1.0, -1.0, -1.0, -1.0))).toDF("id", "v")
+    val got = rows.select($"id", Quantize.b1($"v").as("bits"))
+      .as[(Long, Array[Long])].collect().toMap
+    assert(got(1L).toSeq == Seq(1L | 4L)) // bits 0 and 2 set
+    assert(got(2L).toSeq == Seq(0L))
+  }
+
+  test("TopKAgg equals the window-rank oracle, both directions") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"label", ($"vec_id" % 97).cast("double").as("score"))
+    val viaAgg = e.groupBy($"label")
+      .agg(TopKAgg.least($"score", $"vec_id", 5).as("hits"))
+      .select($"label", posexplode($"hits").as(Seq("r", "h")))
+      .select($"label", $"h.score".as("score"), $"h.id".as("vec_id"))
+      .as[(Int, Double, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"label").orderBy(asc("score"), asc("vec_id"))
+    val viaWindow = e.withColumn("rn", row_number().over(w)).where($"rn" <= 5)
+      .select($"label", $"score", $"vec_id")
+      .as[(Int, Double, Long)].collect().toSet
+    assert(viaAgg == viaWindow)
+
+    val viaAggMax = e.groupBy($"label")
+      .agg(TopKAgg.greatest($"score", $"vec_id", 5).as("hits"))
+      .select($"label", posexplode($"hits").as(Seq("r", "h")))
+      .select($"label", $"h.score".as("score"), $"h.id".as("vec_id"))
+      .as[(Int, Double, Long)].collect().toSet
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"label").orderBy(desc("score"), asc("vec_id"))
+    val viaWindowMax = e.withColumn("rn", row_number().over(wd)).where($"rn" <= 5)
+      .select($"label", $"score", $"vec_id")
+      .as[(Int, Double, Long)].collect().toSet
+    assert(viaAggMax == viaWindowMax)
+  }
+
+  test("metric registry: declared metrics drop into the same search") {
+    val viaRegistry = Similarity.knnWithMetric(spark, dir, Metric("cos"))
+      .as[(Long, Double)].collect().toSeq
+    // a user-defined metric object is just another instance of the trait
+    val userMetric = new Metric {
+      val name = "neg_cos_user"
+      def apply(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        lit(1.0) - Similarity.cosine(a, b)
+    }
+    val viaUser = Similarity.knnWithMetric(spark, dir, userMetric)
+      .as[(Long, Double)].collect().toSeq
+    assert(viaRegistry.map(_._1) == viaUser.map(_._1))
+    assert(viaRegistry.head._1 == 0L) // self is nearest
+    intercept[IllegalArgumentException] { Metric("nope") }
+  }
+
+  test("eval: recall and ndcg on hand-checkable rankings") {
+    val got = Seq((1L, 1), (2L, 2), (9L, 3)).toDF("id", "rank")
+    val expected = Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L)).toDF("id")
+    assert(Eval.recallAt(got, expected, "id", 3) === 2.0 / 3.0)
+    val ndcg = Eval.ndcgAt(got, expected, "id", 3)
+    // hits at ranks 1,2 → dcg = 1 + 1/log2(3); idcg = same (2 hits ideal)
+    assert(math.abs(ndcg - 1.0) < 1e-12)
+    val gotWorse = Seq((9L, 1), (1L, 2), (2L, 3)).toDF("id", "rank")
+    val ndcg2 = Eval.ndcgAt(gotWorse, expected, "id", 3)
+    val want = (1.0 / (math.log(3) / math.log(2)) + 0.5) / 1.6309297535714575
+    assert(math.abs(ndcg2 - want) < 1e-9, s"$ndcg2 vs $want")
+  }
+
+  test("memory_usage: per-component byte sizes are positive") {
+    val s = graft.ops.Fulltext.indexFor(spark, "/root/testdata/sf0.001")
+    val rows = s.memoryUsage().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSet == Set("tokens", "segments", "doclens", "dict"))
+    rows.foreach { case (c, files, bytes) =>
+      assert(files > 0 && bytes > 0, s"component $c has files=$files bytes=$bytes")
+    }
+  }
+}
