@@ -52,6 +52,10 @@ object Bench {
       results(name) = time { fn(spark, sfDir).collect() }
     }
 
+    // drop caches accumulated by the query sweep: the fresh-build timing
+    // below must not compete with them for heap
+    spark.catalog.clearCache()
+
     // engine: fresh build over the documents table → files/sec
     val benchRoot = s"${sys.props("java.io.tmpdir")}/graft-bench-${System.nanoTime()}"
     val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -85,6 +85,9 @@ object SparkEntry {
     "ta_langid" -> TextAnalysis.langId _,
     "ta_fingerprint" -> TextAnalysis.fingerprint _,
     "ta_levenshtein" -> TextAnalysis.levenshteinPairs _,
+    "ta_levenshtein_bounded" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.levenshteinBoundedPairs(s, d)),
+    "ta_hamming_str" -> TextAnalysis.hammingStrPairs _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -134,5 +137,7 @@ object SparkEntry {
     "ta_langid" -> TextAnalysis.langIdSql,
     "ta_fingerprint" -> TextAnalysis.fingerprintSql,
     "ta_levenshtein" -> TextAnalysis.levenshteinPairsSql,
+    "ta_levenshtein_bounded" -> TextAnalysis.levenshteinBoundedPairsSql(),
+    "ta_hamming_str" -> TextAnalysis.hammingStrPairsSql,
   )
 }

@@ -17,8 +17,8 @@ object TimeOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
-    // warm-up run then timed run
-    fn(spark, sfDir).collect()
+    // warm-up run then timed run (SPARK_GRAFT_NOWARM=1 to measure cold)
+    if (!sys.env.contains("SPARK_GRAFT_NOWARM")) fn(spark, sfDir).collect()
     val t0 = System.nanoTime()
     val n = fn(spark, sfDir).collect().length
     println(f"TIMED $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")

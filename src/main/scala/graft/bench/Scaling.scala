@@ -37,10 +37,20 @@ object Scaling {
     spark.sparkContext.setLogLevel("WARN")
     try {
       import spark.implicits._
-      // ids are the generation index (a pure function of the data row)
-      val indexed = spark.range(0, nDocs)
-        .map(i => (i, CorpusGen.genDoc(42L, i).content))
-        .toDF("doc_id", "content")
+      // corpus materialized to parquet BEFORE the timed region: the
+      // build measurement is the ENGINE (scan → tokenize → shuffles →
+      // segments), not the synthetic generator; a parquet input is also
+      // what the real pipeline reads, and it splits across threads the
+      // same way at both parallelism levels
+      val corpusPath = s"${sys.props("java.io.tmpdir")}/graft-scale-corpus-$nDocs"
+      if (!new java.io.File(s"$corpusPath/_SUCCESS").exists()) {
+        spark.range(0, nDocs)
+          .map(i => (i, CorpusGen.genDoc(42L, i).content))
+          .toDF("doc_id", "content")
+          .repartition(64)
+          .write.mode("overwrite").parquet(corpusPath)
+      }
+      val indexed = spark.read.parquet(corpusPath)
 
       val root = s"${sys.props("java.io.tmpdir")}/graft-scale-$cpus-$nDocs"
       deleteRec(new java.io.File(root))

@@ -110,6 +110,9 @@ object KMeans {
 
     val finalAssign = assign(centroids).select(col("id"), col("cid"), col("dist")).cache()
     val inertia = finalAssign.agg(sum(col("dist"))).head().getDouble(0)
+    // finalAssign is materialized by the inertia pass — the input cache
+    // (the big one: every vector) can go; callers hold only the results
+    pts.unpersist()
     Result(centroids, finalAssign, inertia)
   }
 }

@@ -57,49 +57,48 @@ object SemanticJoin {
       .cache()
     prefs.count()
 
-    val emptyEngaged = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(
-        StructField("left_id", LongType),
-        StructField("right_id", LongType),
-        StructField("dist", DoubleType))))
+    // single state row per left: (pointer, engagement) — the identical
+    // encoding the SQL oracle's recursive CTE carries. One eager
+    // localCheckpoint per round truncates the iterative lineage (a
+    // cached-only loop accumulates a plan per round and recompute
+    // cascades blow the heap); one emptiness probe decides termination.
+    val prefsP = prefs.select(col("left_id"), col("pos"),
+      col("right_id").as("p_right"), col("dist").as("p_dist"))
 
-    // eager localCheckpoint per round: truncates the iterative lineage
-    // (a cached-only loop accumulates a plan per round and recompute
-    // cascades blow the heap)
-    var engaged = emptyEngaged.localCheckpoint(true)
-    // per-left pointer: next preference position to propose at
-    var nextPos = left.select(col("id").as("left_id")).withColumn("pos", lit(1))
+    var state = left.select(col("id").as("left_id"))
+      .withColumn("pos", lit(1))
+      .withColumn("eng_right", lit(null).cast(LongType))
+      .withColumn("eng_dist", lit(null).cast(DoubleType))
       .localCheckpoint(true)
 
     var done = false
     while (!done) {
-      val free = nextPos.join(engaged.select(col("left_id")), Seq("left_id"), "left_anti")
-      // pointer past list end → exhausted, drops out of the join
-      val proposals = free.join(prefs, Seq("left_id", "pos"))
-        .select(col("left_id"), col("right_id"), col("dist"))
-        .localCheckpoint(true)
-      if (proposals.isEmpty) {
+      // free lefts see their proposal at the pointer; engaged lefts keep
+      // their engagement as their only candidate (proposal masked off)
+      val joined = state.join(prefsP, Seq("left_id", "pos"), "left")
+        .select(col("left_id"), col("pos"), col("eng_right"), col("eng_dist"),
+          when(col("eng_right").isNull, col("p_right")).as("prop_right"),
+          when(col("eng_right").isNull, col("p_dist")).as("prop_dist"))
+      if (joined.where(col("prop_right").isNotNull).isEmpty) {
         done = true
       } else {
-        val wRight = Window.partitionBy(col("right_id")).orderBy(asc("dist"), asc("left_id"))
-        val newEngaged = proposals.unionByName(engaged)
+        // per right keep min (dist, left_id) among proposals ∪ engagements
+        val wRight = Window.partitionBy(col("cand_right"))
+          .orderBy(asc("cand_dist"), asc("left_id"))
+        state = joined
+          .withColumn("cand_right", coalesce(col("eng_right"), col("prop_right")))
+          .withColumn("cand_dist", coalesce(col("eng_dist"), col("prop_dist")))
           .withColumn("rnk", row_number().over(wRight))
-          .where(col("rnk") === 1)
-          .drop("rnk")
-          .localCheckpoint(true)
-
-        nextPos = nextPos
-          .join(proposals.select(col("left_id"), lit(1).as("proposed")).distinct(),
-            Seq("left_id"), "left")
           .select(col("left_id"),
-            when(col("proposed").isNotNull, col("pos") + 1).otherwise(col("pos")).as("pos"))
+            (col("pos") + when(col("prop_right").isNotNull, 1).otherwise(0)).as("pos"),
+            when(col("cand_right").isNotNull && col("rnk") === 1, col("cand_right")).as("eng_right"),
+            when(col("cand_right").isNotNull && col("rnk") === 1, col("cand_dist")).as("eng_dist"))
           .localCheckpoint(true)
-
-        engaged = newEngaged
       }
     }
     prefs.unpersist()
-    engaged.orderBy(col("left_id"))
+    state.where(col("eng_right").isNotNull)
+      .select(col("left_id"), col("eng_right").as("right_id"), col("eng_dist").as("dist"))
+      .orderBy(col("left_id"))
   }
 }

@@ -29,11 +29,17 @@ object Dedup {
   def hash32Sql(e: String): String =
     s"('0x' || substr(md5($e), 1, 8))::BIGINT"
 
-  /** Word 3-gram shingles of the token stream (order-preserving),
-    * via codegen'd builtins: sequence + transform + element_at.
+  /** Word 3-gram shingles over an ALREADY-MATERIALIZED token-array
+    * column, via codegen'd builtins: sequence + transform + element_at.
+    *
+    * The input must be a plain attribute (`.as("toks")` in a prior
+    * projection), NOT `Tokenizer.tokensCol(text)` inline: the token
+    * expression appears in the guard, the sequence bounds, and all three
+    * element_at calls inside the lambda, and Catalyst re-evaluates a
+    * non-attribute child there — inlining the regex split made shingle
+    * materialization O(tokens²) per doc (~20 s cold at sf0.1 vs ~3 s).
     */
-  def shinglesCol(text: Column): Column = {
-    val toks = Tokenizer.tokensCol(text)
+  def shinglesOfToks(toks: Column): Column = {
     // sequence(1, 0) would be a DESCENDING range in Spark — guard docs
     // with fewer than 3 tokens explicitly
     when(size(toks) >= 3,
@@ -43,7 +49,7 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** DuckDB equivalent of [[shinglesCol]] as a per-doc table expr. */
+  /** DuckDB equivalent of [[shinglesOfToks]] as a per-doc table expr. */
   def shinglesSqlCte: String =
     s"""tokd AS (SELECT doc_id, ${Tokenizer.duckdbTokensSql("text")} AS toks FROM documents),
        |shix AS (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 1, 1))) AS i FROM tokd),
@@ -56,7 +62,8 @@ object Dedup {
     */
   private def shingleTable(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), explode(shinglesCol(col("text"))).as("shingle"))
+      .select(col("doc_id"), Tokenizer.tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shinglesOfToks(col("toks"))).as("shingle"))
       .distinct()
       .cache()
 
@@ -130,11 +137,20 @@ object Dedup {
   final val NumHashes = 8
   final val Bands = 4 // 2 rows per band
 
-  /** MinHash signature (8 hashes) per doc. */
+  /** MinHash signature (8 hashes) per doc. Each md5 yields FOUR
+    * independent 32-bit hashes (8-hex-char chunks of the 32-char
+    * digest), so the signature costs 2 md5 evaluations per shingle row,
+    * not 8 — md5 is the dominant per-row cost of the signature stage.
+    */
   private def minhashes(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleTable(spark, dir)
-    val hashed = (0 until NumHashes).foldLeft(sh) { (df, i) =>
-      df.withColumn(s"h$i", hash32(concat(lit(s"$i:"), col("shingle"))))
+    val digests = sh
+      .withColumn("d0", md5(concat(lit("a:"), col("shingle"))))
+      .withColumn("d1", md5(concat(lit("b:"), col("shingle"))))
+    val hashed = (0 until NumHashes).foldLeft(digests) { (df, i) =>
+      val src = if (i < 4) "d0" else "d1"
+      df.withColumn(s"h$i",
+        conv(substring(col(src), 1 + 8 * (i % 4), 8), 16, 10).cast("long"))
     }
     hashed.groupBy(col("doc_id"))
       .agg(min(col("h0")).as("m0"),
@@ -148,16 +164,17 @@ object Dedup {
     * non-near-dups collide on a full band with prob ≈ jaccard².
     */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val mh = minhashes(spark, dir)
-    // candidate pairs: union over bands of self-join on (band minhash pair)
-    val candidates = (0 until Bands).map { b =>
-      val k1 = s"m${2 * b}"
-      val k2 = s"m${2 * b + 1}"
-      val left = mh.select(col("doc_id").as("left_id"), col(k1).as("k1"), col(k2).as("k2"))
-      val right = mh.select(col("doc_id").as("right_id"), col(k1).as("k1"), col(k2).as("k2"))
-      left.join(right, Seq("k1", "k2")).where(col("left_id") < col("right_id"))
-        .select(col("left_id"), col("right_id"))
-    }.reduce(_ union _).distinct()
+    // signatures cached: ONE banded table self-joined once on
+    // (band, k1, k2) — the union-of-4-self-joins formulation recomputed
+    // the signature aggregation for every band and side (8 scans)
+    val mh = minhashes(spark, dir).cache()
+    val banded = mh.select(col("doc_id"), explode(array((0 until Bands).map(b =>
+      struct(lit(b).as("band"), col(s"m${2 * b}").as("k1"), col(s"m${2 * b + 1}").as("k2"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.k1").as("k1"), col("bs.k2").as("k2"))
+    val candidates = banded.as("a").join(banded.as("b"), Seq("band", "k1", "k2"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
+      .distinct()
 
     // verify candidates with exact Jaccard
     val sh = shingleTable(spark, dir)
@@ -181,8 +198,14 @@ object Dedup {
   }
 
   def minhashLshSql(threshold: Double = 0.8): String = {
+    // two md5 digests per shingle, four 8-hex-chunk hashes each — the
+    // exact twin of [[minhashes]]
     val minCols = (0 until NumHashes)
-      .map(i => s"min(${hash32Sql(s"'$i:' || shingle")}) AS m$i").mkString(",\n       ")
+      .map { i =>
+        val prefix = if (i < 4) "a" else "b"
+        s"min(('0x' || substr(md5('$prefix:' || shingle), ${1 + 8 * (i % 4)}, 8))::BIGINT) AS m$i"
+      }
+      .mkString(",\n       ")
     val bandJoins = (0 until Bands).map { b =>
       s"""SELECT a.doc_id AS left_id, b.doc_id AS right_id
          |  FROM mh a JOIN mh b ON a.m${2 * b} = b.m${2 * b} AND a.m${2 * b + 1} = b.m${2 * b + 1}

@@ -245,6 +245,9 @@ object Similarity {
       // files (partition pruning), the IVF point at scale
       km.assignments.write.mode("overwrite").partitionBy("cid").parquet(s"$root/assignments")
       Files.writeString(marker, "ok")
+      // everything is on disk now — drop the fit's result caches
+      km.centroids.unpersist()
+      km.assignments.unpersist()
     }
     IvfIndex(
       spark.read.parquet(s"$root/centroids"),
@@ -460,10 +463,12 @@ object Similarity {
     */
   def embNearDup(spark: SparkSession, dir: String,
       threshold: Double = NearDupThreshold): DataFrame = {
+    // signatures derived once; the verify joins read only (id, v, norm)
+    // so the band computation never re-runs per join branch
     val e = augmentedWithDups(spark, dir)
-      .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("norm"),
-        graft.functions.HyperplaneLsh.bandsCol(col("v")).as("bands"))
-    val sig = e.select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "bv")))
+      .select(col("vec_id"), col("v"), sqrt(dot(col("v"), col("v"))).as("norm"))
+    val sig = e.select(col("vec_id"),
+      posexplode(graft.functions.HyperplaneLsh.bandsCol(col("v"))).as(Seq("band", "bv")))
     val cand = sig.as("a").join(sig.as("b"), Seq("band", "bv"))
       .where(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("left_id"), col("b.vec_id").as("right_id"))

@@ -121,6 +121,53 @@ object TextAnalysis {
       |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
       |WHERE a.doc_id < 50 ORDER BY left_id""".stripMargin
 
+  /** Bounded edit distance — the reference's `*_bounded` SQL variants
+    * (/root/reference/sqlite/lib.cpp:268-335): distances above the bound
+    * report −1 (Spark's 3-arg levenshtein semantics; the oracle clamps
+    * the unbounded DuckDB builtin the same way).
+    */
+  def levenshteinBoundedPairs(spark: SparkSession, dir: String,
+      bound: Int = 20): DataFrame = {
+    val d = docs(spark, dir)
+    val a = d.where(col("doc_id") < 50)
+      .select(col("doc_id").as("left_id"), col("source").as("sa"))
+    val b = d.select(col("doc_id").as("right_id"), col("source").as("sb"))
+    a.join(b, col("right_id") === col("left_id") + 1)
+      .select(col("left_id"), levenshtein(col("sa"), col("sb"), bound).as("lev_bounded"))
+      .orderBy(col("left_id"))
+  }
+
+  def levenshteinBoundedPairsSql(bound: Int = 20): String =
+    s"""SELECT a.doc_id AS left_id,
+       |  CASE WHEN levenshtein(a.source, b.source) <= $bound
+       |       THEN levenshtein(a.source, b.source) ELSE -1 END AS lev_bounded
+       |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+       |WHERE a.doc_id < 50 ORDER BY left_id""".stripMargin
+
+  /** String Hamming distance over the fixed-length md5-hex content
+    * fingerprints of consecutive docs — the reference's
+    * `distance_hamming_bytes` SQL function analog
+    * (/root/reference/sqlite/lib.cpp:209-267; equal-length strings).
+    * Pure builtins: per-char zip_with + filter + size.
+    */
+  def hammingStrPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), md5(col("text")).as("fp"))
+    val a = d.where(col("doc_id") < 50)
+      .select(col("doc_id").as("left_id"), col("fp").as("fa"))
+    val b = d.select(col("doc_id").as("right_id"), col("fp").as("fb"))
+    a.join(b, col("right_id") === col("left_id") + 1)
+      .select(col("left_id"),
+        size(filter(
+          zip_with(split(col("fa"), ""), split(col("fb"), ""), (x, y) => x =!= y),
+          p => p)).as("hamming_str"))
+      .orderBy(col("left_id"))
+  }
+
+  val hammingStrPairsSql: String =
+    """SELECT a.doc_id AS left_id, hamming(md5(a.text), md5(b.text)) AS hamming_str
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |WHERE a.doc_id < 50 ORDER BY left_id""".stripMargin
+
   /** Document fingerprint: md5 over the normalized token stream — the
     * canonical-content identity used for dedup/lineage (whitespace/punct
     * insensitive, unlike the raw-content sha256 integrity column).

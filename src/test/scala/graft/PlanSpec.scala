@@ -63,4 +63,21 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(Fulltext.bm25TopK(spark, "/root/testdata/sf0.001"))
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$plan")
   }
+
+  test("batched kNN partial-aggregates the bounded top-k map-side") {
+    val plan = planOf(graft.ops.Similarity.knnExactMany(spark, "/root/testdata/sf0.001"))
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial mode before the query_id shuffle — the shuffle carries
+    // O(queries × partitions × k) buffers, not the scored rows
+    assert(plan.contains("ObjectHashAggregate"), s"no ObjectHashAggregate in:\n$plan")
+    assert(plan.contains("partial_topkagg"), s"no partial TopKAgg in:\n$plan")
+  }
+
+  test("IVF probe reads only the probed cells (partition pruning on cid)") {
+    graft.ops.Similarity.ivfIndexFor(spark, "/root/testdata/sf0.001", nlist = 8)
+    val plan = planOf(
+      graft.ops.Similarity.ivfKnn(spark, "/root/testdata/sf0.001", nlist = 8, nprobe = 2))
+    assert(plan.contains("PartitionFilters: [cid"),
+      s"no cid partition pruning in:\n$plan")
+  }
 }
