@@ -53,7 +53,11 @@ object Scaling {
       val indexed = spark.read.parquet(corpusPath)
 
       val root = s"${sys.props("java.io.tmpdir")}/graft-scale-$cpus-$nDocs"
-      deleteRec(new java.io.File(root))
+      // SPARK_GRAFT_SCALING_REUSE: keep the per-config index across reps
+      // (build resumes as a no-op) — for query-scaling runs where the
+      // batch is the measurement and rebuilds are noise
+      if (!sys.env.contains("SPARK_GRAFT_SCALING_REUSE"))
+        deleteRec(new java.io.File(root))
       val t0 = System.nanoTime()
       IndexBuilder.build(spark, indexed, root, targetBuckets = 32, knownNDocs = nDocs)
       val buildSec = (System.nanoTime() - t0) / 1e9
@@ -69,7 +73,8 @@ object Scaling {
       val rows = searcher.searchMany(queries, 10).collect()
       val batchSec = (System.nanoTime() - t1) / 1e9
       require(rows.nonEmpty)
-      deleteRec(new java.io.File(root))
+      if (!sys.env.contains("SPARK_GRAFT_SCALING_REUSE"))
+        deleteRec(new java.io.File(root))
       RunResult(cpus, buildSec, nDocs / buildSec, batchSec, queries.size / batchSec)
     } finally spark.stop()
   }

@@ -73,6 +73,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_topkagg"), s"no partial TopKAgg in:\n$plan")
   }
 
+  test("hot terms are bucket-salted: posting-row size is bounded by bucket width") {
+    // a term in EVERY doc ("def" is in every generated doc) must be split
+    // into one posting row per docId-bucket — no task ever materializes a
+    // whole hot-term posting list (the SURVEY §7.5.2 skew answer)
+    val root = Files.createTempDirectory("graft-skew-").toString
+    val indexed = spark.range(0, 200).map(i => (i, CorpusGen.genDoc(9L, i).content))
+      .toDF("doc_id", "content")
+    val stats = IndexBuilder.build(spark, indexed, root, targetBuckets = 8)
+    val rows = spark.read.parquet(IndexBuilder.Layout(root).segments)
+      .where(col("term") === "def")
+      .select(col("bucket"), col("df"))
+      .as[(Int, Long)].collect()
+    assert(rows.length == 8, s"hot term not present in all 8 buckets: ${rows.toSeq}")
+    val maxRow = rows.map(_._2).max
+    assert(maxRow <= stats.bucketSize,
+      s"posting row ($maxRow docs) exceeds bucket width ${stats.bucketSize}")
+  }
+
   test("IVF probe reads only the probed cells (partition pruning on cid)") {
     graft.ops.Similarity.ivfIndexFor(spark, "/root/testdata/sf0.001", nlist = 8)
     val plan = planOf(
