@@ -71,11 +71,14 @@ object Bench {
     val tBatch = time { searcher.searchMany(queries, 10).collect() }
     results("eng_search_50q_batch") = tBatch
 
-    // engine: single-query latency (separate jobs per query), 10 queries
-    val tSingles = time {
-      queries.take(10).foreach { case (_, q) => searcher.search(q, 10).collect() }
-    }
-    results("eng_search_10q_sequential") = tSingles
+    // engine: single-query latency (separate jobs per query), 10 queries —
+    // per-query times kept for p50/p95 (the BASELINE latency target row)
+    val singleTimes = queries.take(10).map { case (_, q) =>
+      time { searcher.search(q, 10).collect() }
+    }.sorted
+    results("eng_search_10q_sequential") = singleTimes.sum
+    val p50 = singleTimes(singleTimes.size / 2)
+    val p95 = singleTimes(math.min(singleTimes.size - 1, (singleTimes.size * 95) / 100))
 
     deleteRec(new java.io.File(benchRoot))
 
@@ -86,6 +89,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""build_files_per_sec":$buildFps,"batch_queries_per_sec":$batchQps,""" +
+        s""""query_latency_p50_sec":$p50,"query_latency_p95_sec":$p95,""" +
         s""""n_docs":$nDocs,"sf":"$sfDir"}""")
     spark.stop()
   }

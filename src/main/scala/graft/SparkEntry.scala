@@ -35,6 +35,7 @@ object SparkEntry {
     "eng_bm25_topk" -> Fulltext.engBm25TopK _,
     "eng_bm25_exact" -> Fulltext.engBm25Exact _,
     "eng_bm25_multigen" -> Fulltext.engBm25MultiGen _,
+    "eng_bm25_many" -> Fulltext.engBm25Many _,
     "eng_stats" -> Fulltext.engStats _,
     // usearch key-API analogs
     "u_contains" -> UsearchOps.contains _,
@@ -103,6 +104,7 @@ object SparkEntry {
     "eng_bm25_topk" -> Fulltext.bm25TopKSql(),
     "eng_bm25_exact" -> Fulltext.bm25TopKSql(),
     "eng_bm25_multigen" -> Fulltext.bm25TopKSql(),
+    "eng_bm25_many" -> Fulltext.bm25TopKManySql(),
     "eng_stats" -> Fulltext.engStatsSql,
     "u_contains" -> UsearchOps.containsSql,
     "u_count_key" -> UsearchOps.countKeySql,

@@ -143,34 +143,51 @@ object IndexBuilder {
     // ---- stage 3: posting segments, bucketed + block-encoded ------------
     if (!committed("segments")) {
       val t0 = System.nanoTime()
+      val avgdlLocal = avgdl
+      // ONE shuffle straight to the WRITE layout: (bucket, term-hash
+      // split) partitions with parallelism = shuffle-partition-wide
+      // (repartition(bucket) alone would cap parallelism at the bucket
+      // count and serialize big buckets through single tasks), rows
+      // sorted (bucket, term, docId) so posting rows are built by
+      // RUN-GROUPING the sorted iterator — replacing the former
+      // groupByKey shuffle + a second repartition of the built rows
+      // (3 shuffles of the tf data → 2 in the heaviest stage).
       // dl via window over the doc_id shuffle — no second pass / join
       val wDoc = Window.partitionBy(col("doc_id"))
       tf.withColumn("dl", sum(col("tf")).over(wDoc))
         .withColumn("bucket", (col("doc_id") / bucketSize).cast("int"))
         .select($"term", $"bucket", $"doc_id", $"tf", $"dl")
-        .as[(String, Int, Long, Long, Long)]
-        .groupByKey(r => (r._1, r._2))
-        .mapGroups { (key: (String, Int), it: Iterator[(String, Int, Long, Long, Long)]) =>
-          val (term, bucket) = key
-          val arr = it.toArray.sortBy(_._3)
-          val docIds = arr.map(_._3)
-          val tfs = arr.map(_._4.toInt)
-          val lens = arr.map(_._5)
-          val norms = Array.tabulate(docIds.length)(i => Bm25.tfNorm(tfs(i), lens(i), avgdl))
-          val blocks = PostingCodec
-            .encodeBlocks(docIds, tfs, i => norms(i))
-            .map(b => EncBlock(b.firstDocId, b.lastDocId, b.count, b.maxTfNorm, b.bytes))
-          PostingRow(term, bucket, docIds.length.toLong, norms.max, blocks)
-        }
-        // one task per (bucket, term-hash split): write parallelism is
-        // shuffle-partition-wide, each task writes exactly one bucket dir
-        // (repartition(bucket) alone would cap parallelism at the bucket
-        // count and serialize big buckets through single tasks)
         .repartition(
           math.max(buckets, spark.sessionState.conf.numShufflePartitions),
           col("bucket"), pmod(hash(col("term")),
             lit(math.max(1, spark.sessionState.conf.numShufflePartitions / buckets))))
-        .sortWithinPartitions(col("bucket"), col("term"))
+        .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
+        .as[(String, Int, Long, Long, Long)]
+        .mapPartitions { it =>
+          // consecutive (bucket, term) runs of the sorted partition —
+          // each run is one posting row, docIds already ascending
+          new Iterator[PostingRow] {
+            private val buf = it.buffered
+            def hasNext: Boolean = buf.hasNext
+            def next(): PostingRow = {
+              val head = buf.head
+              val (term, bucket) = (head._1, head._2)
+              val docIds = Array.newBuilder[Long]
+              val tfs = Array.newBuilder[Int]
+              val lens = Array.newBuilder[Long]
+              while (buf.hasNext && buf.head._1 == term && buf.head._2 == bucket) {
+                val r = buf.next()
+                docIds += r._3; tfs += r._4.toInt; lens += r._5
+              }
+              val ids = docIds.result(); val tfa = tfs.result(); val lna = lens.result()
+              val norms = Array.tabulate(ids.length)(i => Bm25.tfNorm(tfa(i), lna(i), avgdlLocal))
+              val blocks = PostingCodec
+                .encodeBlocks(ids, tfa, i => norms(i))
+                .map(b => EncBlock(b.firstDocId, b.lastDocId, b.count, b.maxTfNorm, b.bytes))
+              PostingRow(term, bucket, ids.length.toLong, norms.max, blocks)
+            }
+          }
+        }
         .write
         .mode(SaveMode.Overwrite)
         .partitionBy("bucket")

@@ -169,6 +169,48 @@ object Fulltext {
       .select(col("doc_id"), round(col("score"), 4).as("score"))
   }
 
+  /** Fixed query set for the batched engine entry. */
+  final val ManyQueries: Seq[(Int, String)] = Seq(
+    (0, RefQuery.mkString(" ")),
+    (1, "index merge commit"),
+    (2, "dedup hash table"))
+
+  /** Engine batched search (`search_many`): ALL queries in one
+    * distributed pass — one pruned postings scan over the union of query
+    * terms, per-bucket WAND per query, windowed per-query top-k. Checked
+    * against the per-query SQL oracle ([[bm25TopKManySql]]).
+    */
+  def engBm25Many(spark: SparkSession, dir: String): DataFrame = {
+    val s = indexFor(spark, dir)
+    s.searchMany(ManyQueries, K)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** UNION ALL of per-query oracles, each the [[bm25TopKSql]] math with
+    * a rank column.
+    */
+  def bm25TopKManySql(queries: Seq[(Int, String)] = ManyQueries, k: Int = K): String =
+    queries.map { case (qid, q) =>
+      val terms = Tokenizer.tokenize(q).distinct.sorted.toSeq
+      val termList = terms.map(t => s"'$t'").mkString(", ")
+      s"""SELECT $qid AS query_id, CAST(rnk AS INT) AS rank, doc_id, round(score_raw, 4) AS score FROM (
+         |  WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+         |  tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |  dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |  st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         |                CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+         |  dfq AS (SELECT term, count(*) AS df FROM tf WHERE term IN ($termList) GROUP BY 1)
+         |  SELECT tf.doc_id,
+         |         sum(${graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")}) AS score_raw,
+         |         row_number() OVER (
+         |           ORDER BY sum(${graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")}) DESC, tf.doc_id) AS rnk
+         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         |  WHERE tf.term IN ($termList)
+         |  GROUP BY tf.doc_id) x
+         |WHERE rnk <= $k""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY query_id, rank")
+
   /** Engine index statistics (the `stats()`/`memory_usage` analog,
     * /root/reference/include/usearch/index.hpp:3133-3210) — checked
     * against direct SQL recomputation over the corpus.
