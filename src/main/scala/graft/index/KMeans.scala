@@ -9,7 +9,7 @@ import graft.ops.Similarity
 /** Distributed k-means — the reference's standalone `kmeans` clustering
   * (/root/reference/include/usearch/index_plugins.hpp:2166-2410, Python
   * /root/reference/python/usearch/index.py:1618-1710), Spark-first:
-  * broadcast centroids, argmin assignment via one window, centroid update
+  * broadcast centroids, argmin assignment via a min-struct aggregation, update
   * via posexplode + per-dimension aggregation.
   *
   * Determinism discipline (matches the engine's rank-identity rules):
@@ -43,7 +43,6 @@ object KMeans {
       k: Int,
       iterations: Int,
       rangeSize: Long = DefaultRangeSize): Result = {
-    import org.apache.spark.sql.expressions.Window
     val pts = points
       .select(col("id"), col("vec").cast("array<double>").as("vec"))
       .cache()
@@ -64,16 +63,23 @@ object KMeans {
         .toSeq).cache()
     centroids.count()
 
-    val wAssign = Window.partitionBy(col("id")).orderBy(asc("dist"), asc("cid"))
+    // argmin via min(struct(dist, cid)): the struct's lexicographic order
+    // IS the (dist asc, cid asc) tie rule, and the aggregate partial-
+    // combines map-side — the shuffle carries one row per point, where a
+    // row_number window would shuffle and sort the full point×centroid
+    // cross product. `first(vec)` is safe: vec is functionally dependent
+    // on the grouping key.
     def assign(cs: DataFrame): DataFrame = pts
       .crossJoin(broadcast(cs))
-      .select(col("id"), col("cid"), col("vec"),
-        Similarity.dot(col("vec"), col("vec")).minus(
-          lit(2.0) * Similarity.dot(col("vec"), col("cvec"))).plus(
-          Similarity.dot(col("cvec"), col("cvec"))).as("dist"))
-      .withColumn("rnk", row_number().over(wAssign))
-      .where(col("rnk") === 1)
-      .select(col("id"), col("cid"), col("vec"), col("dist"))
+      .select(col("id"), col("vec"),
+        struct(
+          Similarity.dot(col("vec"), col("vec")).minus(
+            lit(2.0) * Similarity.dot(col("vec"), col("cvec"))).plus(
+            Similarity.dot(col("cvec"), col("cvec"))).as("dist"),
+          col("cid").as("cid")).as("dc"))
+      .groupBy(col("id"))
+      .agg(min(col("dc")).as("m"), first(col("vec")).as("vec"))
+      .select(col("id"), col("m.cid").as("cid"), col("vec"), col("m.dist").as("dist"))
 
     var it = 0
     while (it < iterations) {

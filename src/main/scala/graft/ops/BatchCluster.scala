@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch clustering with merge-smallest refinement — the reference's
@@ -15,7 +14,7 @@ import org.apache.spark.sql.functions._
   *      `vec_id % 2^L == 0` (the same expected halving per layer),
   *      refined level-by-level while unique clusters < min_clusters;
   *   2. assign every query to its nearest centroid (argmin over
-  *      (cosine distance, centroid id) — one broadcast + window);
+  *      (cosine distance, centroid id) — broadcast + min-struct aggregation);
   *   3. while clusters > max_clusters: merge the LEAST popular cluster
   *      into its nearest other cluster (popularity accumulates) — run on
   *      the DRIVER over the collected (centroid, popularity) table,
@@ -40,16 +39,16 @@ object BatchCluster {
     spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
-  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(asc("dist_raw"), asc("centroid"))
+  // argmin via min(struct(dist, centroid)) — map-side partial agg, no
+  // window sort of the full cross product (same tie rule: dist, centroid)
+  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid").as("centroid"),
-        (lit(1.0) - Similarity.cosine(col("v"), col("cv"))).as("dist_raw"))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") === 1)
-      .select(col("vec_id"), col("centroid"))
-  }
+      .select(col("vec_id"),
+        struct((lit(1.0) - Similarity.cosine(col("v"), col("cv"))).as("d"),
+          col("cid").as("centroid")).as("dc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("dc")).as("m"))
+      .select(col("vec_id"), col("m.centroid").as("centroid"))
 
   /** @return (vec_id, cluster, dist) — cluster = surviving centroid key,
     *         dist = round(cosine distance to it, 6), ordered by vec_id.

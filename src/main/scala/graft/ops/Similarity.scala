@@ -189,22 +189,24 @@ object Similarity {
     * (distance, centroid) for a deterministic tie-break.
     */
   def clusterAssign(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = emb(spark, dir)
     val centroids = broadcast(e.where(col("vec_id") < 10)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_embedding")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(asc("dist_raw"), asc("centroid_id"))
+    // argmin via min(struct(dist, centroid)): lexicographic struct order
+    // = the (dist asc, centroid asc) tie rule, partial-aggregated
+    // map-side (the row_number window this replaces shuffled and sorted
+    // the full point×centroid cross product)
     e.crossJoin(centroids)
-      .select(col("vec_id"), col("centroid_id"),
-        (lit(1.0) - cosine(col("embedding"), col("c_embedding"))).as("dist_raw"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+      .select(col("vec_id"),
+        struct((lit(1.0) - cosine(col("embedding"), col("c_embedding"))).as("dist_raw"),
+          col("centroid_id").as("centroid_id")).as("dc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("dc")).as("m"))
       // `+ 0.0` normalizes IEEE −0.0 → +0.0: 1 − cos(c,c) can be a tiny
       // negative (1 − 1.0000000000000002) that rounds to −0.0 in one
       // engine and +0.0 in the other (round-1 hash fail, 3/500 rows)
-      .select(col("vec_id"), col("centroid_id"),
-        (round(col("dist_raw"), 6) + lit(0.0)).as("dist"))
+      .select(col("vec_id"), col("m.centroid_id").as("centroid_id"),
+        (round(col("m.dist_raw"), 6) + lit(0.0)).as("dist"))
       .orderBy(col("vec_id"))
   }
 

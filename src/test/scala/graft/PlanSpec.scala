@@ -91,6 +91,15 @@ class PlanSpec extends SparkSpec {
       s"posting row ($maxRow docs) exceeds bucket width ${stats.bucketSize}")
   }
 
+  test("centroid assignment partial-aggregates the argmin map-side") {
+    val plan = planOf(graft.ops.Similarity.clusterAssign(spark, "/root/testdata/sf0.001"))
+    // min(struct(dist, cid)) partial-combines before the vec_id shuffle —
+    // the row_number window this replaced shuffled the full cross product
+    assert(plan.contains("partial_min"), s"no partial min-struct argmin in:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "),
+      s"argmin still planned as a window:\n$plan")
+  }
+
   test("IVF probe reads only the probed cells (partition pruning on cid)") {
     graft.ops.Similarity.ivfIndexFor(spark, "/root/testdata/sf0.001", nlist = 8)
     val plan = planOf(
