@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.functions.{DotProduct, HyperplaneBands, TopKAgg}
 
@@ -41,12 +42,14 @@ object GraftExtensions {
     (FunctionIdentifier("graft_topk_min"),
       info("graft_topk_min", "graft_topk_min(score, id, k) - k least (score, id) as array<struct>"),
       (args: Seq[Expression]) =>
-        TopKAgg(args(0), args(1), litInt(args(2), "k"), largest = false)
+        TopKAgg(Cast(args(0), DoubleType), Cast(args(1), LongType),
+          litInt(args(2), "k"), largest = false)
           .toAggregateExpression()),
     (FunctionIdentifier("graft_topk_max"),
       info("graft_topk_max", "graft_topk_max(score, id, k) - k greatest (score desc, id) as array<struct>"),
       (args: Seq[Expression]) =>
-        TopKAgg(args(0), args(1), litInt(args(2), "k"), largest = true)
+        TopKAgg(Cast(args(0), DoubleType), Cast(args(1), LongType),
+          litInt(args(2), "k"), largest = true)
           .toAggregateExpression()))
 
   /** Register on an already-built session. */
