@@ -89,6 +89,8 @@ object SparkEntry {
     "ta_levenshtein_bounded" -> ((s: SparkSession, d: String) =>
       TextAnalysis.levenshteinBoundedPairs(s, d)),
     "ta_hamming_str" -> TextAnalysis.hammingStrPairs _,
+    // composite training-data curation: lang filter ∧ dedup rep ∧ quality
+    "ta_curate" -> ((s: SparkSession, d: String) => TextAnalysis.curate(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -141,5 +143,6 @@ object SparkEntry {
     "ta_levenshtein" -> TextAnalysis.levenshteinPairsSql,
     "ta_levenshtein_bounded" -> TextAnalysis.levenshteinBoundedPairsSql(),
     "ta_hamming_str" -> TextAnalysis.hammingStrPairsSql,
+    "ta_curate" -> TextAnalysis.curateSql(),
   )
 }

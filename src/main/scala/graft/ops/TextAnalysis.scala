@@ -182,4 +182,46 @@ object TextAnalysis {
     s"""SELECT doc_id,
        |  md5(array_to_string(${Tokenizer.duckdbTokensSql("text")}, ' ')) AS fingerprint
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** End-to-end curation — the realistic COMPOSITION of the pipeline
+    * operators into one declarative plan: keep documents that pass the
+    * language filter ∧ are the exact-dedup representative (min doc_id
+    * per content hash within the filtered set) ∧ score at least
+    * `minQualityBp`. The plan is three shuffles (quality agg, dedup
+    * agg, rep join) with the lang filter pushed to the scan; at 100 TB
+    * each stage is the already-proven scale shape of its standalone op.
+    */
+  def curate(spark: SparkSession, dir: String,
+      minQualityBp: Long = 5400, lang: String = "en"): DataFrame = {
+    val filtered = docs(spark, dir).where(col("lang") === lang)
+    val rep = filtered
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val q = quality(spark, dir).select(col("doc_id"), col("quality_bp"))
+    rep.join(q, "doc_id")
+      .where(col("quality_bp") >= minQualityBp)
+      .select(col("doc_id"), col("text_md5"), col("quality_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  def curateSql(minQualityBp: Long = 5400, lang: String = "en"): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_unique,
+       |    CAST(sum(CASE WHEN term IN ($stopwordsSqlList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+       |  FROM tok GROUP BY doc_id),
+       |bp AS (
+       |  SELECT doc_id,
+       |    (20000 * n_stop + n_tokens) // (2 * n_tokens) AS stop_bp,
+       |    (20000 * n_unique + n_tokens) // (2 * n_tokens) AS div_bp,
+       |    least((20000 * n_tokens + 200) // 400, 10000) AS len_bp
+       |  FROM agg),
+       |q AS (SELECT doc_id, (4 * len_bp + 3 * div_bp + 3 * (10000 - stop_bp) + 5) // 10 AS quality_bp FROM bp),
+       |rep AS (
+       |  SELECT md5(text) AS text_md5, min(doc_id) AS doc_id
+       |  FROM documents WHERE lang = '$lang' GROUP BY 1)
+       |SELECT r.doc_id, r.text_md5, q.quality_bp
+       |FROM rep r JOIN q USING (doc_id)
+       |WHERE q.quality_bp >= $minQualityBp
+       |ORDER BY r.doc_id""".stripMargin
 }
