@@ -203,8 +203,13 @@ object IndexBuilder {
         .mapGroups { (term, it) =>
           var df = 0L
           var mx = 0.0
-          it.foreach { r => df += r.df; if (r.maxTfNorm > mx) mx = r.maxTfNorm }
-          DictRow(term, df, mx)
+          val bks = scala.collection.mutable.ArrayBuffer.empty[Int]
+          it.foreach { r =>
+            df += r.df
+            if (r.maxTfNorm > mx) mx = r.maxTfNorm
+            bks += r.bucket
+          }
+          DictRow(term, df, mx, bks.sorted.toArray)
         }
         // range-partitioned, term-sorted dictionary: per-query term
         // lookups prune to one file + one row group via min/max stats

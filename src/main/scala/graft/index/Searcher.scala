@@ -62,12 +62,20 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
   }
 
   /** Per-term df from this index's dictionary (tiny pruned read). */
-  def termDfs(terms: Seq[String]): Map[String, Long] = {
+  def termDfs(terms: Seq[String]): Map[String, Long] =
+    dictRows(terms).map { case (t, d) => t -> d.df }
+
+  /** Full dictionary rows (df, term UB, bucket list) for the query
+    * terms — ONE pruned read answers everything the query planning
+    * needs; the buckets list replaces the former distinct-bucket scan
+    * job over the postings.
+    */
+  def dictRows(terms: Seq[String]): Map[String, DictRow] = {
     if (terms.isEmpty) return Map.empty
     dictDS
       .where($"term".isin(terms: _*))
       .collect()
-      .map(d => d.term -> d.df)
+      .map(d => d.term -> d)
       .toMap
   }
 
@@ -87,11 +95,14 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
       allow: Option[Long => Boolean] = None,
       globalStats: Option[GlobalStats] = None): DataFrame = {
     val qTerms = Tokenizer.tokenize(query).distinct.sorted
+    // ONE pruned dictionary read plans the whole query: dfs (scoring),
+    // term existence, and the bucket partitions to touch
+    val local = dictRows(qTerms)
     // idf from global stats when searching as one shard of a multi-index
     // (the `Indexes` scatter-gather analog): every shard must score with
     // the same N/df/avgdl or the merged ranking is meaningless
     val g = globalStats.getOrElse(
-      GlobalStats(stats.nDocs, stats.avgdl, termDfs(qTerms)))
+      GlobalStats(stats.nDocs, stats.avgdl, local.map { case (t, d) => t -> d.df }))
     val dictHits = qTerms
       .filter(t => g.dfByTerm.getOrElse(t, 0L) > 0L)
       .map(t => (t, Bm25.idf(g.dfByTerm(t), g.nDocs)))
@@ -105,15 +116,19 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     // scale the UBs so WAND pruning stays sound (never under-estimates)
     val ubScale = math.max(1.0, g.avgdl / stats.avgdl)
 
-    val postings = spark.read.parquet(layout.segments).as[PostingRow]
-      .where($"term".isin(termList: _*))
-
-    // partition pruning: read norms only for buckets that hold query terms
-    val touchedBuckets = postings.select($"bucket").distinct().as[Int].collect()
+    // buckets from the dictionary rows (a term known globally but absent
+    // from THIS shard has no local row → no buckets → contributes here
+    // exactly nothing, as before)
+    val touchedBuckets = termList
+      .flatMap(t => local.get(t).map(_.buckets.toSeq).getOrElse(Seq.empty))
+      .distinct
     if (touchedBuckets.isEmpty)
       return spark.emptyDataset[Hit].toDF("doc_id", "score")
+
+    val postings = spark.read.parquet(layout.segments).as[PostingRow]
+      .where($"term".isin(termList: _*) && $"bucket".isin(touchedBuckets: _*))
     val doclens = doclensDS
-      .where($"bucket".isin(touchedBuckets.toSeq: _*))
+      .where($"bucket".isin(touchedBuckets: _*))
 
     val idfB = spark.sparkContext.broadcast(idfByTerm)
     val allowB = spark.sparkContext.broadcast(allow)
@@ -166,7 +181,8 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     val allTerms = qTerms.flatMap(_._2).distinct.sorted
     if (allTerms.isEmpty)
       return spark.emptyDataset[(Int, Long, Double)].toDF("query_id", "doc_id", "score")
-    val dfByTerm = termDfs(allTerms)
+    val localRows = dictRows(allTerms)
+    val dfByTerm = localRows.map { case (t, d) => t -> d.df }
     val n = stats.nDocs
     val idfByTerm = dfByTerm.map { case (t, d) => t -> Bm25.idf(d, n) }
     val livePerQuery: Seq[(Int, Array[String])] = qTerms
@@ -176,11 +192,13 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
       return spark.emptyDataset[(Int, Long, Double)].toDF("query_id", "doc_id", "score")
     val liveTerms = livePerQuery.flatMap(_._2).distinct.sorted
 
+    // bucket list straight from the dictionary rows — no separate
+    // distinct-bucket scan job
+    val touched = liveTerms.flatMap(t => localRows(t).buckets.toSeq).distinct
     val postings = spark.read.parquet(layout.segments).as[PostingRow]
-      .where($"term".isin(liveTerms: _*))
-    val touched = postings.select($"bucket").distinct().as[Int].collect()
+      .where($"term".isin(liveTerms: _*) && $"bucket".isin(touched: _*))
     val doclens = doclensDS
-      .where($"bucket".isin(touched.toSeq: _*))
+      .where($"bucket".isin(touched: _*))
 
     val idfB = spark.sparkContext.broadcast(idfByTerm)
     val queriesB = spark.sparkContext.broadcast(livePerQuery)

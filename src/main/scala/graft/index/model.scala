@@ -35,8 +35,14 @@ final case class PostingRow(
   */
 final case class DocLenRow(bucket: Int, docIds: Array[Long], lens: Array[Long])
 
-/** Dictionary: global df and global max tf-norm per term (WAND term UB). */
-final case class DictRow(term: String, df: Long, maxTfNorm: Double)
+/** Dictionary: global df, global max tf-norm (WAND term UB), and the
+  * ascending list of buckets holding the term — one pruned dictionary
+  * read then answers BOTH "which terms exist / their UBs" and "which
+  * bucket partitions to touch", so a query costs one metadata job, not
+  * two (the old plan ran a separate postings scan just to collect the
+  * distinct buckets). Bounded: ≤ nBuckets ints per term.
+  */
+final case class DictRow(term: String, df: Long, maxTfNorm: Double, buckets: Array[Int])
 
 /** Index-wide scalars (the `stats()` analog,
   * /root/reference/include/usearch/index.hpp:3133-3210).
