@@ -209,6 +209,9 @@ object IndexBuilder {
             if (r.maxTfNorm > mx) mx = r.maxTfNorm
             bks += r.bucket
           }
+          // the bucket list is always EXPLICIT: generation indexes hold
+          // docId subranges, so their bucket ids are not 0-based and no
+          // "all buckets" sentinel can expand correctly for them
           DictRow(term, df, mx, bks.sorted.toArray)
         }
         // range-partitioned, term-sorted dictionary: per-query term

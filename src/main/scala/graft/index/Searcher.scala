@@ -16,10 +16,10 @@ import graft.query.Bm25
   * `merge_into` /root/reference/include/usearch/index.hpp:2650-2670):
   *
   *   1. tokenize query → sorted unique terms
-  *   2. dictionary lookup (tiny filtered Parquet read) → idf + term UBs
-  *   3. postings scan pruned by `term IN (...)` pushdown; collect the
-  *      distinct buckets touched (ids only) → doclen read pruned to those
-  *      bucket partitions
+  *   2. ONE dictionary lookup (tiny filtered Parquet read) → idf, term
+  *      UBs, and the per-term bucket lists (all query planning, one job)
+  *   3. postings scan pruned by `term IN (...)` pushdown + bucket
+  *      partition filter; doclen read pruned to the same buckets
   *   4. per-bucket WAND (doc-at-a-time, term-UB pivoting, block skipping)
   *      inside `cogroup` — emits each bucket's top-k
   *   5. global ordered merge: orderBy(score desc, docId asc).limit(k)

@@ -40,7 +40,10 @@ final case class DocLenRow(bucket: Int, docIds: Array[Long], lens: Array[Long])
   * read then answers BOTH "which terms exist / their UBs" and "which
   * bucket partitions to touch", so a query costs one metadata job, not
   * two (the old plan ran a separate postings scan just to collect the
-  * distinct buckets). Bounded: ≤ nBuckets ints per term.
+  * distinct buckets). The list is always explicit — generation indexes
+  * hold docId subranges whose bucket ids are not 0-based, so an
+  * "all buckets" sentinel cannot be expanded without knowing the
+  * range — and is bounded by the bucket count (≈ target parallelism).
   */
 final case class DictRow(term: String, df: Long, maxTfNorm: Double, buckets: Array[Int])
 
