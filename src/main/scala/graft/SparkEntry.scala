@@ -52,6 +52,8 @@ object SparkEntry {
     "sim_knn_batch" -> ((s: SparkSession, d: String) => Similarity.knnExactMany(s, d)),
     "sim_knn_i8" -> ((s: SparkSession, d: String) => Similarity.knnI8(s, d)),
     "sim_recall_i8" -> Similarity.recallI8 _,
+    "sim_knn_b1" -> ((s: SparkSession, d: String) => Similarity.knnB1(s, d)),
+    "sim_recall_b1" -> Similarity.recallB1 _,
     "sim_knn_metric" -> ((s: SparkSession, d: String) =>
       Similarity.knnWithMetric(s, d, graft.functions.Metric.Cos)),
     "mv_count" -> MultiVector.mvCount _,
@@ -127,6 +129,8 @@ object SparkEntry {
     "sim_knn_batch" -> Similarity.knnExactManySql(),
     "sim_knn_i8" -> Similarity.knnI8Sql(),
     "sim_recall_i8" -> Similarity.recallI8Sql,
+    "sim_knn_b1" -> Similarity.knnB1Sql(),
+    "sim_recall_b1" -> Similarity.recallB1Sql,
     "sim_knn_metric" -> Similarity.knnWithMetricCosSql(),
     "mv_count" -> MultiVector.mvCountSql,
     "mv_distance" -> MultiVector.mvDistanceSql,

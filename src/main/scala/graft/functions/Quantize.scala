@@ -1,7 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Vector quantization — the reference's scalar down-casts
   * (`cast_to_i8_gt` /root/reference/include/usearch/index_plugins.hpp:1170-1191,
@@ -15,19 +20,18 @@ import org.apache.spark.sql.functions._
   *   b1: sign bits packed into 64-bit words (bit i of word w =
   *       v[64w+i] > 0), searched with hamming.
   *
-  * All builtins (transform/aggregate/sequence) — codegen'd, no UDFs.
+  * Both are native imperative expressions ([[QuantizeI8]]/[[QuantizeB1]]):
+  * the earlier transform-lambda formulation referenced the norm (a full
+  * dot-product expression) INSIDE the lambda, which Catalyst re-evaluates
+  * per element — O(dim²) per row, the same regression class as the
+  * shingle-expression inlining (CLAUDE.md invariant). The native loop is
+  * one O(dim) pass per row.
   */
 object Quantize {
 
   /** i8 quantization; zero vectors map to zero (guarded division). */
-  def i8(v: Column): Column = {
-    val vd = v.cast("array<double>")
-    val mag = sqrt(DotProduct.dotCol(vd, vd))
-    transform(vd, x =>
-      when(mag === 0.0, lit(0L))
-        .otherwise(greatest(least(x * lit(127.0) / mag, lit(127.0)), lit(-127.0))
-          .cast("long")))
-  }
+  def i8(v: Column): Column =
+    Bridge.column(QuantizeI8(Bridge.expression(v.cast("array<double>"))))
 
   /** DuckDB twin of [[i8]] (trunc matches Spark's toward-zero cast —
     * a bare DuckDB CAST would ROUND).
@@ -43,23 +47,76 @@ object Quantize {
     transform(q, x => x.cast("double") / lit(127.0))
 
   /** b1 binary quantization: sign bits packed into ⌈dim/64⌉ longs
-    * (bit i of word w set iff v[64w+i] > 0; 2ⁱ ≤ 2⁶³ stays exact as a
-    * double→long cast because only i ≤ 62 sums below can carry — bit 63
-    * is added as Long.MinValue to stay in two's complement).
+    * (bit i of word w set iff v[64w+i] > 0; `1L << 63` is Long.MinValue,
+    * i.e. the sign bit lands in two's complement exactly as the
+    * sum-of-powers formulation did).
     */
-  def b1(v: Column): Column = {
-    val vd = v.cast("array<double>")
-    val words = (size(vd) + lit(63)) / lit(64)
-    transform(sequence(lit(0), words.cast("int") - 1), w =>
-      aggregate(
-        sequence(lit(0), lit(63)),
-        lit(0L),
-        (acc, i) => {
-          val idx = w * 64 + i + 1 // element_at is 1-based
-          val bitVal = when(i === 63, lit(Long.MinValue))
-            .otherwise(pow(lit(2.0), i).cast("long"))
-          when(idx <= size(vd) && element_at(vd, idx) > 0.0, acc + bitVal)
-            .otherwise(acc)
-        }))
+  def b1(v: Column): Column =
+    Bridge.column(QuantizeB1(Bridge.expression(v.cast("array<double>"))))
+
+  /** DuckDB twin of [[b1]]: identical packing via integer arithmetic —
+    * bit sums accumulate in HUGEINT (bit 63 enters as Long.MinValue) and
+    * cast back to BIGINT, so every word is bit-identical to Spark's.
+    */
+  def b1Sql(v: String): String =
+    s"list_transform(range(0, CAST(ceil(len($v::DOUBLE[]) / 64.0) AS INT)), w -> " +
+      s"CAST(list_sum(list_transform(range(0, 64), i -> " +
+      s"CASE WHEN 64*w + i + 1 <= len($v::DOUBLE[]) AND ($v::DOUBLE[])[64*w + i + 1] > 0 " +
+      s"THEN CASE WHEN i = 63 THEN CAST(-9223372036854775807 - 1 AS HUGEINT) " +
+      s"ELSE CAST(CAST(pow(2, i) AS BIGINT) AS HUGEINT) END " +
+      s"ELSE CAST(0 AS HUGEINT) END)) AS BIGINT))"
+}
+
+/** `array<double>` → `array<long>` i8 quantization (see [[Quantize.i8]]).
+  * One pass computes the norm, a second clamps/truncates — O(dim) total.
+  * Arithmetic matches the SQL twin exactly: (x·127.0)/mag in that
+  * association order, clamp to [−127, 127], truncate toward zero.
+  * Assumes NaN-free input (embedding columns).
+  */
+case class QuantizeI8(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData].toDoubleArray()
+    var ss = 0.0
+    var i = 0
+    while (i < v.length) { ss += v(i) * v(i); i += 1 }
+    val mag = math.sqrt(ss)
+    val out = new Array[Long](v.length)
+    if (mag != 0.0) {
+      i = 0
+      while (i < v.length) {
+        val d = v(i) * 127.0 / mag
+        out(i) = math.max(math.min(d, 127.0), -127.0).toLong
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `array<double>` → `array<long>` packed sign bits (see [[Quantize.b1]]). */
+case class QuantizeB1(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData].toDoubleArray()
+    val out = new Array[Long]((v.length + 63) / 64)
+    var i = 0
+    while (i < v.length) {
+      if (v(i) > 0.0) out(i / 64) |= (1L << (i % 64))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

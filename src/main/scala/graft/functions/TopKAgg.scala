@@ -62,13 +62,22 @@ case class TopKAgg(
     else if (better(e, buf.head)) { buf.dequeue(); buf.enqueue(e) }
   }
 
+  /** NaN policy: NaN scores are SKIPPED outright (like null). `better`
+    * is not a total order once NaN appears — compare(a,b)=compare(b,a)=1
+    * — and SQL window oracles disagree between engines on where NaN
+    * sorts, so a NaN row never enters the buffer; callers that can
+    * produce NaN (e.g. cosine of a zero vector) must guard or accept
+    * that NaN-scored candidates are dropped.
+    */
   override def update(
       buf: mutable.PriorityQueue[(Double, Long)],
       input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null)
-      offer(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
+    if (s != null && i != null) {
+      val sv = s.asInstanceOf[Double]
+      if (!sv.isNaN) offer(buf, (sv, i.asInstanceOf[Long]))
+    }
     buf
   }
 

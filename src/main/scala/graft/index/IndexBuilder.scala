@@ -96,10 +96,18 @@ object IndexBuilder {
     // first stage commit, so a resumed partial build — possibly under a
     // different core count (Verify runs 4 CPUs, Bench 32, same index
     // roots) — keeps the exact bucketSize the committed stages were
-    // written with instead of recomputing it from defaultParallelism
+    // written with instead of recomputing it from defaultParallelism.
+    // The persisted file is only authoritative once a stage HAS committed:
+    // a build that crashed pre-commit must not pin a later run (with a
+    // possibly different explicit targetBuckets) to its orphaned geometry.
     val geomPath = Paths.get(root, "geometry.properties")
+    val anyCommitted = Seq("tokens", "doclens", "segments", "dict").exists(committed)
     val (buckets, bucketSize) =
-      if (Files.exists(geomPath)) {
+      if (anyCommitted) {
+        if (!Files.exists(geomPath))
+          throw new IllegalStateException(
+            s"index at $root has committed stages but no geometry.properties — " +
+              "the root is corrupt; delete it and rebuild")
         val kv = Files.readString(geomPath).linesIterator.filter(_.contains("="))
           .map { l => val Array(k, v) = l.split("=", 2); (k, v) }.toMap
         (kv("buckets").toInt, kv("bucketSize").toLong)

@@ -45,7 +45,15 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
   // analog) that pins the small side tables in memory — for bounded
   // indexes served hot, not the scale default.
   private lazy val dictDS = {
-    val d = spark.read.parquet(layout.dict).as[DictRow]
+    val raw = spark.read.parquet(layout.dict)
+    // round-2 format change: DictRow gained per-term bucket lists. An
+    // index written by the old format would otherwise die inside an
+    // AnalysisException — surface the actionable message instead.
+    if (!raw.columns.contains("buckets"))
+      throw new IllegalStateException(
+        s"index at $root was built by an older graft version (dictionary has " +
+          "no per-term bucket lists) — delete the index root and rebuild")
+    val d = raw.as[DictRow]
     if (cacheHot) { val c = d.cache(); c.count(); c } else d
   }
   private lazy val doclensDS = {

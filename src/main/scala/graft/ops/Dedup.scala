@@ -58,14 +58,24 @@ object Dedup {
 
   /** Distinct (doc_id, shingle) pairs — cached: every consumer (counts,
     * signatures, intersection joins) reuses one materialization instead
-    * of re-tokenizing the corpus per join branch.
+    * of re-tokenizing the corpus per join branch. The handle is memoized
+    * per (session, dir) and re-cached only when evicted (storageLevel
+    * NONE — e.g. after a `clearCache()` between bench entries), so
+    * repeated ops neither stack duplicate-plan cache entries nor trip
+    * "already cached" warnings.
     */
-  private def shingleTable(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"), Tokenizer.tokensCol(col("text")).as("toks"))
-      .select(col("doc_id"), explode(shinglesOfToks(col("toks"))).as("shingle"))
-      .distinct()
-      .cache()
+  private val shingleCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private def shingleTable(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val df = shingleCache.getOrElseUpdate((spark, dir),
+      docs(spark, dir)
+        .select(col("doc_id"), Tokenizer.tokensCol(col("text")).as("toks"))
+        .select(col("doc_id"), explode(shinglesOfToks(col("toks"))).as("shingle"))
+        .distinct())
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
+    df
+  }
 
   // ------------------------------------------------------------------
   // exact dedup
@@ -239,6 +249,12 @@ object Dedup {
     * tf (+tf if set, -tf if not); simhash bit b = (Σ weights)_b > 0.
     * Bit extraction via exact integer arithmetic (div/mod) so both
     * engines agree bit-for-bit.
+    *
+    * Single-pass shape: the 32 signed bit-sums are 32 aggregate COLUMNS
+    * of one map-side-partial hash aggregate over the tf table — the
+    * former per-bit explode shuffled a 32×-inflated tf table through a
+    * (doc, bit) groupBy (round-2 verdict, What's wrong #4). The sums are
+    * integer, so regrouping cannot change any value.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val tf = docs(spark, dir)
@@ -246,18 +262,15 @@ object Dedup {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("h", hash32(col("term")))
-    val bits = tf
-      .select(col("doc_id"), col("tf"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
-      .withColumn("bitset", expr("(h div CAST(pow(2, b) AS BIGINT)) % 2"))
-      .withColumn("w",
-        when(col("bitset") === 1, col("tf")).otherwise(-col("tf")))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("w")).as("s"))
-    bits
-      .withColumn("bitval",
-        when(col("s") > 0, expr("CAST(pow(2, b) AS BIGINT)")).otherwise(lit(0L)))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("bitval")).as("simhash"))
+    val sums = (0 until 32).map { b =>
+      sum(when(expr(s"(h div ${1L << b}L) % 2") === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"s$b")
+    }
+    tf.groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
       .orderBy(col("doc_id"))
   }
 

@@ -105,6 +105,63 @@ object Similarity {
        |SELECT 10 AS k, CAST(count(*) * 1000 AS BIGINT) AS recall_bp
        |FROM i8 JOIN ex USING (vec_id)""".stripMargin
 
+  /** Hamming distance over packed-sign-bit words (b1 vectors): Σ per-word
+    * popcount(xor) — builtin zip_with/bit_count, integer-exact.
+    */
+  def hammingWords(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  def hammingWordsSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), w -> bit_count(xor($a[w], $b[w]))))"
+
+  /** b1 binary-quantized exact top-k — the reference's headline b1x8
+    * mode (/root/reference/README.md:267-269; SQL surface
+    * `distance_hamming_binary` /root/reference/sqlite/lib.cpp:287-289):
+    * vectors packed to sign bits ([[graft.functions.Quantize.b1]], 64×
+    * smaller than f64), ranked by hamming distance (asc, id asc). All
+    * arithmetic is integer → bit-identical cross-engine by construction.
+    * Recall vs the f64 exact ranking is gated in QuantizeSpec and
+    * exported by [[recallB1]].
+    */
+  def knnB1(spark: SparkSession, dir: String, k: Int = 10,
+      queryVecId: Long = 0L): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), graft.functions.Quantize.b1(col("embedding")).as("bv"))
+    val q = broadcast(e.where(col("vec_id") === queryVecId).select(col("bv").as("qv")))
+    e.crossJoin(q)
+      .select(col("vec_id"), hammingWords(col("bv"), col("qv")).as("h"))
+      .orderBy(asc("h"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("h").cast("int").as("hamming"))
+  }
+
+  def knnB1Sql(k: Int = 10, queryVecId: Long = 0L): String =
+    s"""WITH qe AS (SELECT vec_id, ${graft.functions.Quantize.b1Sql("embedding")} AS bv FROM embeddings),
+       |q AS (SELECT bv AS qv FROM qe WHERE vec_id = $queryVecId)
+       |SELECT vec_id, CAST(${hammingWordsSql("bv", "qv")} AS INT) AS hamming
+       |FROM qe, q ORDER BY ${hammingWordsSql("bv", "qv")}, vec_id LIMIT $k""".stripMargin
+
+  /** recall@10 of the b1 ranking vs the f64 exact ranking, basis points
+    * (the b1 row of the reference's recall-per-dtype table,
+    * README.md:258-269). 64 sign bits of a 64-d vector keep far less
+    * information than i8 — the number is expected well below i8's.
+    */
+  def recallB1(spark: SparkSession, dir: String): DataFrame =
+    graft.eval.Eval.recallBp(spark,
+      knnB1(spark, dir), knnExact(spark, dir), "vec_id", 10)
+
+  def recallB1Sql: String =
+    s"""WITH qe AS (SELECT vec_id, ${graft.functions.Quantize.b1Sql("embedding")} AS bv FROM embeddings),
+       |q AS (SELECT bv AS qv FROM qe WHERE vec_id = 0),
+       |b1 AS (SELECT vec_id FROM qe, q ORDER BY ${hammingWordsSql("bv", "qv")}, vec_id LIMIT 10),
+       |qx AS (SELECT embedding AS xq FROM embeddings WHERE vec_id = 0),
+       |ex AS (SELECT vec_id FROM embeddings, qx
+       |       ORDER BY ${cosineSql("embedding", "xq")} DESC, vec_id LIMIT 10)
+       |SELECT 10 AS k, CAST(count(*) * 1000 AS BIGINT) AS recall_bp
+       |FROM b1 JOIN ex USING (vec_id)""".stripMargin
+
   /** Batched multi-query exact kNN — the embedding-side `searchMany`
     * (the reference's `exact_search_t` scores MANY queries in one pass,
     * /root/reference/include/usearch/index_plugins.hpp:2071-2164): one

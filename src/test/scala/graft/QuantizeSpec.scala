@@ -32,11 +32,45 @@ class QuantizeSpec extends SparkSpec {
   test("b1 binary quantization packs sign bits") {
     val rows = Seq(
       (1L, Array(1.0, -1.0, 0.5, 0.0)),
-      (2L, Array(-1.0, -1.0, -1.0, -1.0))).toDF("id", "v")
+      (2L, Array(-1.0, -1.0, -1.0, -1.0)),
+      // 64th element positive → the sign bit of word 0 (Long.MinValue)
+      (3L, Array.fill(63)(-1.0) :+ 2.0),
+      // 65 elements, all positive → word 0 = -1 (all bits), word 1 = 1
+      (4L, Array.fill(65)(0.5))).toDF("id", "v")
     val got = rows.select($"id", Quantize.b1($"v").as("bits"))
       .as[(Long, Array[Long])].collect().toMap
     assert(got(1L).toSeq == Seq(1L | 4L)) // bits 0 and 2 set
     assert(got(2L).toSeq == Seq(0L))
+    assert(got(3L).toSeq == Seq(Long.MinValue))
+    assert(got(4L).toSeq == Seq(-1L, 1L))
+  }
+
+  test("i8 quantization: hand-checked clamp/truncate/zero-vector cases") {
+    // ‖v‖ = 5 → scaled = (x·127)/5 = (76.2, -101.6, 0) → trunc (76, -101, 0)
+    val rows = Seq(
+      (1L, Array(3.0, -4.0, 0.0)),
+      (2L, Array(0.0, 0.0, 0.0)), // zero vector → all zeros, no NaN
+      (3L, Array(1.0))) // single element → exactly ±127, inside the clamp
+      .toDF("id", "v")
+    val got = rows.select($"id", Quantize.i8($"v").as("q"))
+      .as[(Long, Array[Long])].collect().toMap
+    assert(got(1L).toSeq == Seq(76L, -101L, 0L))
+    assert(got(2L).toSeq == Seq(0L, 0L, 0L))
+    assert(got(3L).toSeq == Seq(127L))
+  }
+
+  test("b1 recall@10 vs f64 exact is the driver-reported value") {
+    // 64 sign bits of a 64-d vector keep far less information than i8 —
+    // the reference's own per-dtype table shows the same cliff
+    // (/root/reference/README.md:258-269). Pin the floor loosely and the
+    // self-hit exactly.
+    val b1 = Similarity.knnB1(spark, dir, k = 10)
+      .as[(Long, Int)].collect().toSeq
+    assert(b1.head == ((0L, 0)), s"self must rank first at distance 0: ${b1.head}")
+    val exact = Similarity.knnExact(spark, dir, k = 10)
+    val recall = Eval.recallAt(Similarity.knnB1(spark, dir, k = 10), exact, "vec_id", 10)
+    info(s"b1 recall@10 = $recall")
+    assert(recall >= 0.2, s"b1 recall@10 too low: $recall")
   }
 
   test("TopKAgg equals the window-rank oracle, both directions") {
