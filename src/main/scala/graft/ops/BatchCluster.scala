@@ -33,7 +33,29 @@ object BatchCluster {
 
   final val DefaultMin = 2
   final val DefaultMax = 8
-  final val DefaultLevel = 4
+
+  /** Driver-state budget: the level walk targets ≤ this many centroids,
+    * so the collected (centroid, popularity, vector) tables are O(budget)
+    * REGARDLESS of corpus size — the reference's shallowest-sufficient-
+    * level walk (index_dense.hpp:1831-1836) gives the same bound via its
+    * HNSW layer sizes. Round 2 started at a constant level 4 (n/16
+    * centroids), which grows linearly with the corpus.
+    */
+  final val CentroidBudget = 32L
+
+  /** Smallest level with an expected centroid count ≤ `budget`:
+    * min level ≥ 1 with n ≤ 2^level · budget (for dense 0-based ids the
+    * count of multiples of 2^level in [0, n) is then ≤ budget). The SQL
+    * oracle derives the identical modulus with integer arithmetic.
+    */
+  def autoLevel(n: Long, budget: Long = CentroidBudget): Int = {
+    // n ≤ 2^l·budget ⇔ 2^l ≥ ceil(n/budget) — the division form cannot
+    // overflow a long at any l (2^l·budget would, past l = 57)
+    val need = (n + budget - 1) / budget
+    var l = 1
+    while (l < 62 && (1L << l) < need) l += 1
+    l
+  }
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
@@ -50,7 +72,10 @@ object BatchCluster {
       .agg(min(col("dc")).as("m"))
       .select(col("vec_id"), col("m.centroid").as("centroid"))
 
-  /** @return (vec_id, cluster, dist) — cluster = surviving centroid key,
+  /** @param startLevel 0 (default) derives the level from the corpus size
+    *                    ([[autoLevel]] — driver state stays O(budget));
+    *                    > 0 pins it explicitly (tests, subclustering).
+    * @return (vec_id, cluster, dist) — cluster = surviving centroid key,
     *         dist = round(cosine distance to it, 6), ordered by vec_id.
     */
   def cluster(
@@ -58,14 +83,14 @@ object BatchCluster {
       dir: String,
       minClusters: Int = DefaultMin,
       maxClusters: Int = DefaultMax,
-      startLevel: Int = DefaultLevel): DataFrame = {
+      startLevel: Int = 0): DataFrame = {
     val e = emb(spark, dir).cache()
     def centroidsAt(level: Int): DataFrame =
       e.where(col("vec_id") % lit(1L << level) === 0)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
 
     // level refinement: dive a layer deeper while too few unique clusters
-    var level = math.max(1, startLevel)
+    var level = if (startLevel > 0) startLevel else autoLevel(e.count())
     var assigned = assignTo(e, centroidsAt(level))
     var uniq = assigned.select(col("centroid")).distinct().count()
     while (uniq < minClusters && level > 1) {
@@ -106,13 +131,20 @@ object BatchCluster {
     val resolveDf = resolvePairs.toDF("centroid", "cluster")
     val finalVecs = resolvePairs.map(_._2).distinct.sorted
       .map(c => (c, vecByCid(c).toSeq)).toDF("cluster", "final_cv")
-    assigned
+    val out = assigned
       .join(broadcast(resolveDf), "centroid")
       .join(e, "vec_id")
       .join(broadcast(finalVecs), "cluster")
       .select(col("vec_id"), col("cluster"),
         (round(lit(1.0) - Similarity.cosine(col("v"), col("final_cv")), 6) + lit(0.0)).as("dist"))
       .orderBy(col("vec_id"))
+      // materialize the result while the working caches are hot, then
+      // DROP them — repeated cluster() calls (bench sweep, spec suite,
+      // subcluster) must not accumulate executor storage
+      .localCheckpoint(true)
+    assigned.unpersist()
+    e.unpersist()
+    out
   }
 
   /** DuckDB oracle: assignment + the IDENTICAL merge-smallest recursion
@@ -125,13 +157,22 @@ object BatchCluster {
   def clusterSql(
       minClusters: Int = DefaultMin,
       maxClusters: Int = DefaultMax,
-      startLevel: Int = DefaultLevel): String = {
-    val mod = 1L << startLevel
+      startLevel: Int = 0): String = {
     def cos(a: String, b: String): String =
       s"list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)))"
+    // centroid modulus: explicit level, or the SAME smallest-sufficient-
+    // level rule as [[autoLevel]] in exact integer arithmetic
+    val centSql =
+      if (startLevel > 0)
+        s"cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % ${1L << startLevel} = 0)"
+      else
+        s"""lvl AS (SELECT min(p) AS m FROM
+           |  (SELECT CAST(pow(2, g) AS BIGINT) AS p FROM generate_series(1, 62) t(g)) pw
+           |  WHERE p >= ((SELECT count(*) FROM e) + $CentroidBudget - 1) // $CentroidBudget),
+           |cent AS (SELECT vec_id AS cid, v AS cv FROM e, lvl WHERE vec_id % m = 0)""".stripMargin
     s"""WITH RECURSIVE
        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $mod = 0),
+       |$centSql,
        |asg AS (SELECT vec_id, centroid FROM (
        |  SELECT e.vec_id, c.cid AS centroid,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY 1.0 - ${cos("e.v", "c.cv")}, c.cid) AS rnk

@@ -31,6 +31,29 @@ class BatchClusterSpec extends SparkSpec {
     assert(k8 <= 8 && k4 <= 4)
   }
 
+  test("auto level bounds the driver-collected centroid table by the budget") {
+    // pure-function check across corpus scales: the derived level always
+    // keeps the expected centroid count (n / 2^level for dense ids) at or
+    // under the budget — a trillion-doc corpus collects ≤ 32 rows, where
+    // the old constant level 4 collected n/16 (6×10¹⁰ rows at 10¹²)
+    for (n <- Seq(10L, 500L, 5000L, 1000000L, 1000000000L, 1000000000000L)) {
+      val lvl = BatchCluster.autoLevel(n)
+      val expectedCentroids = (n + (1L << lvl) - 1) / (1L << lvl)
+      assert(expectedCentroids <= BatchCluster.CentroidBudget,
+        s"n=$n level=$lvl → $expectedCentroids centroids > budget")
+      // shallowest sufficient: one level up would exceed the budget
+      if (lvl > 1)
+        assert(n > (1L << (lvl - 1)) * BatchCluster.CentroidBudget)
+    }
+    // integration: at this table's size the actual modulo-subsampled
+    // centroid set (what cluster() collects) fits the budget
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val lvl = BatchCluster.autoLevel(n)
+    val collected = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where($"vec_id" % (1L << lvl) === 0).count()
+    assert(collected <= BatchCluster.CentroidBudget)
+  }
+
   test("level refinement dives when min_clusters is not met") {
     // at level 9 (ids % 512 == 0) sf0.001 has 1 centroid (< min 4) →
     // the loop must refine to a deeper level until ≥ 4 unique clusters
