@@ -72,6 +72,10 @@ object SparkEntry {
     // expressible: unrolled CTEs / a recursive CTE)
     "eng_kmeans" -> Similarity.kmeansAssign _,
     "eng_semantic_join" -> Similarity.semanticJoin _,
+    // the scale path: preference lists from IVF-cell candidates (the
+    // reference's ANN-search-per-free-man design) — deterministic, so
+    // the approximate algorithm itself has an exact SQL twin
+    "eng_semantic_join_ann" -> Similarity.semanticJoinAnn _,
     // batch cluster API (merge-smallest-k refinement + chain resolution)
     "sim_batch_cluster" -> ((s: SparkSession, d: String) => ops.BatchCluster.cluster(s, d)),
     // dedup suite
@@ -125,6 +129,7 @@ object SparkEntry {
     "sim_ivf_knn" -> Similarity.knnExactSql(),
     "eng_kmeans" -> Similarity.kmeansAssignSql,
     "eng_semantic_join" -> Similarity.semanticJoinSql,
+    "eng_semantic_join_ann" -> Similarity.semanticJoinAnnSql,
     "sim_batch_cluster" -> ops.BatchCluster.clusterSql(),
     "sim_knn_batch" -> Similarity.knnExactManySql(),
     "sim_knn_i8" -> Similarity.knnI8Sql(),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
+import graft.functions.TopKAgg
 import graft.ops.Similarity
 
 /** Distributed semantic join — the reference's stable-marriage `join`
@@ -15,20 +16,30 @@ import graft.ops.Similarity
   * at `maxProposals` (the reference defaults to log n + threads; lefts
   * that exhaust their list stay unmatched, as in the reference).
   *
+  * Two preference-list generators feed the SAME Gale–Shapley rounds:
+  *
+  *   - [[join]] — EXACT: every (l, r) pair scored (the crossJoin is the
+  *     oracle-shaped twin, like the dedup suite's quadratic n-gram
+  *     Jaccard); the bounded [[TopKAgg]] buffers keep the *shuffle* at
+  *     O(n·partitions·M) even though the compute is O(L·R).
+  *   - [[joinIvf]] — the scale path, the reference's own design ("using
+  *     approximate nearest neighbors search", index.hpp:4337-4338; each
+  *     free man searches the index at :4470-4480): rights are k-means
+  *     partitioned into `nlist` cells (the engine's IVF structure), each
+  *     left scores ONLY rights in its `nprobe` nearest cells — compute
+  *     drops to O(L·R·nprobe/nlist + L·nlist). Every step is
+  *     deterministic (the engine's k-means discipline + total-order
+  *     tie rules), so the approximate matching is a pure function of the
+  *     data, reproducible in SQL ([[Similarity.semanticJoinAnnSql]]).
+  *
   * Spark rendering of Gale–Shapley as batch-synchronous rounds — the GS
   * matching is proposal-order independent, so batched rounds produce
-  * exactly the sequential male-optimal matching (verified against the
-  * in-memory oracle in SemanticJoinSpec):
+  * exactly the sequential male-optimal matching for the given preference
+  * lists (verified against the in-memory oracle in SemanticJoinSpec):
   *
-  *   prefs: per-left top-M candidate lists from the engine's own grouped
-  *     top-k primitive ([[graft.functions.TopKAgg]]): scoring still
-  *     visits every (l, r) pair (it is an EXACT search), but the bounded
-  *     buffers partial-aggregate map-side, so the shuffle moves
-  *     O(n·partitions·M) buffers — never the O(n²) scored rows a window
-  *     over the cross join would shuffle
   *   round: every free left proposes at its list pointer; per right keep
-  *     min (distance, leftId) among proposals ∪ engagements [one window];
-  *     proposers advance their pointer. Stop when nobody can propose.
+  *   min (distance, leftId) among proposals ∪ engagements [one window];
+  *   proposers advance their pointer. Stop when nobody can propose.
   */
 object SemanticJoin {
 
@@ -42,26 +53,119 @@ object SemanticJoin {
       right: DataFrame,
       maxProposals: Int): DataFrame = {
 
-    // preference lists: per-left top-M by (dist, right_id), via the
-    // bounded top-k aggregate (map-side partial → O(n·M) shuffle)
-    val scored = left.select(col("id").as("left_id"), col("vec").as("lv"))
-      .crossJoin(right.select(col("id").as("right_id"), col("vec").as("rv")))
+    // norms once per row BEFORE the crossJoin: the inline cosine form
+    // recomputed both self-dots per PAIR (3× the flops of one dot);
+    // dot/(lnorm·rnorm) is the identical double product, bit-for-bit
+    val lv = left.select(col("id").as("left_id"),
+      col("vec").cast("array<double>").as("lv"))
+      .withColumn("lnorm", sqrt(Similarity.dot(col("lv"), col("lv"))))
+    val rv = right.select(col("id").as("right_id"),
+      col("vec").cast("array<double>").as("rv"))
+      .withColumn("rnorm", sqrt(Similarity.dot(col("rv"), col("rv"))))
+    val scored = lv.crossJoin(rv)
       .select(col("left_id"), col("right_id"),
-        (lit(1.0) - Similarity.cosine(col("lv"), col("rv"))).as("dist"))
-    val prefs = scored
+        (lit(1.0) - Similarity.dot(col("lv"), col("rv")) / (col("lnorm") * col("rnorm")))
+          .as("dist"))
+    gsRounds(spark, left, prefsOf(scored, maxProposals))
+  }
+
+  /** ANN-candidate stable marriage (see object doc): preference lists
+    * come from the engine's IVF machinery instead of all pairs.
+    *
+    * @param nlist  k-means cells partitioning the right side
+    * @param nprobe cells each left scores against (recall/compute knob;
+    *               nprobe = nlist degenerates to the exact [[join]])
+    */
+  def joinIvf(
+      spark: SparkSession,
+      left: DataFrame,
+      right: DataFrame,
+      maxProposals: Int,
+      nlist: Int,
+      nprobe: Int,
+      kmeansIters: Int): DataFrame = {
+    val (scored, km) = ivfScored(spark, left, right, nlist, nprobe, kmeansIters)
+    val out = gsRounds(spark, left, prefsOf(scored, maxProposals))
+    km.centroids.unpersist()
+    km.assignments.unpersist()
+    out
+  }
+
+  /** The ANN candidate-scored (left_id, right_id, dist) pairs plus the
+    * fitted IVF structure (the caller owns the Result's caches) —
+    * separated from [[joinIvf]] so tests can pin the candidate plan shape
+    * (the GS rounds checkpoint their lineage away).
+    */
+  def ivfScored(
+      spark: SparkSession,
+      left: DataFrame,
+      right: DataFrame,
+      nlist: Int,
+      nprobe: Int,
+      kmeansIters: Int): (DataFrame, KMeans.Result) = {
+
+    val km = KMeans.fit(spark,
+      right.select(col("id"), col("vec")), k = nlist, iterations = kmeansIters)
+
+    // nprobe nearest cells per left by (l2sq, cid) — the same distance the
+    // k-means geometry was built with; nlist rows broadcast
+    val lv = left.select(col("id").as("left_id"),
+      col("vec").cast("array<double>").as("lv"))
+      .withColumn("lnorm", sqrt(Similarity.dot(col("lv"), col("lv"))))
+    val probed = lv.crossJoin(broadcast(km.centroids))
+      .select(col("left_id"), col("lv"), col("lnorm"),
+        struct(
+          (Similarity.dot(col("lv"), col("lv"))
+            - lit(2.0) * Similarity.dot(col("lv"), col("cvec"))
+            + Similarity.dot(col("cvec"), col("cvec"))).as("cdist"),
+          col("cid").as("cid")).as("dc"))
       .groupBy(col("left_id"))
-      .agg(graft.functions.TopKAgg.least(col("dist"), col("right_id"), maxProposals).as("cands"))
+      .agg(TopKAgg.least(col("dc.cdist"), col("dc.cid"), nprobe).as("cells"),
+        first(col("lv")).as("lv"), first(col("lnorm")).as("lnorm"))
+      .select(col("left_id"), col("lv"), col("lnorm"),
+        explode(col("cells")).as("c"))
+      .select(col("left_id"), col("lv"), col("lnorm"), col("c.id").as("cid"))
+
+    // candidates = rights in probed cells only — the equi-join replaces
+    // the crossJoin; compute is O(L·R·nprobe/nlist)
+    val rv = right.select(col("id").as("right_id"),
+      col("vec").cast("array<double>").as("rv"))
+      .withColumn("rnorm", sqrt(Similarity.dot(col("rv"), col("rv"))))
+    val scored = probed
+      .join(km.assignments.select(col("cid"), col("id").as("right_id")), "cid")
+      .join(rv, "right_id")
+      .select(col("left_id"), col("right_id"),
+        (lit(1.0) - Similarity.dot(col("lv"), col("rv")) / (col("lnorm") * col("rnorm")))
+          .as("dist"))
+    (scored, km)
+  }
+
+  /** Per-left top-M preference lists from scored (left_id, right_id,
+    * dist) rows, via the bounded top-k aggregate (map-side partial →
+    * O(lefts·M) shuffle, never the scored rows).
+    */
+  private def prefsOf(scored: DataFrame, maxProposals: Int): DataFrame =
+    scored
+      .groupBy(col("left_id"))
+      .agg(TopKAgg.least(col("dist"), col("right_id"), maxProposals).as("cands"))
       .select(col("left_id"), posexplode(col("cands")).as(Seq("pos0", "c")))
       .select(col("left_id"), (col("pos0") + 1).as("pos"),
         col("c.id").as("right_id"), col("c.score").as("dist"))
-      .cache()
+
+  /** Batch-synchronous Gale–Shapley over the given preference lists.
+    * Single state row per left: (pointer, engagement) — the identical
+    * encoding the SQL oracle's recursive CTE carries. One eager
+    * localCheckpoint per round truncates the iterative lineage (a
+    * cached-only loop accumulates a plan per round and recompute
+    * cascades blow the heap); one emptiness probe decides termination.
+    */
+  private def gsRounds(
+      spark: SparkSession,
+      left: DataFrame,
+      prefsIn: DataFrame): DataFrame = {
+    val prefs = prefsIn.cache()
     prefs.count()
 
-    // single state row per left: (pointer, engagement) — the identical
-    // encoding the SQL oracle's recursive CTE carries. One eager
-    // localCheckpoint per round truncates the iterative lineage (a
-    // cached-only loop accumulates a plan per round and recompute
-    // cascades blow the heap); one emptiness probe decides termination.
     val prefsP = prefs.select(col("left_id"), col("pos"),
       col("right_id").as("p_right"), col("dist").as("p_dist"))
 

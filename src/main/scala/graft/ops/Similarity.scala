@@ -462,6 +462,105 @@ object Similarity {
        |FROM gs WHERE iter = (SELECT max(iter) FROM gs) AND eng_right IS NOT NULL
        |ORDER BY left_id""".stripMargin
 
+  final val SemJoinAnnNlist = 8
+  final val SemJoinAnnNprobe = 2
+  final val SemJoinAnnIters = 2
+
+  /** ANN-candidate semantic join — the reference's actual design: stable
+    * marriage over preference lists from approximate-nearest-neighbor
+    * search (/root/reference/include/usearch/index.hpp:4337-4338; each
+    * free man searches the index at :4470-4480). Here the "index" is the
+    * engine's IVF structure (deterministic k-means cells over the right
+    * side); each left scores only its nprobe nearest cells. Every step
+    * is deterministic, so the full pipeline — k-means, cell probing,
+    * capped preference lists, GS rounds — has an exact SQL twin
+    * ([[semanticJoinAnnSql]]): the approximation is in the ALGORITHM
+    * (identical in both engines), never in the execution.
+    */
+  def semanticJoinAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val leftDf = e.where(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val rightDf = e.where(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    graft.index.SemanticJoin.joinIvf(spark, leftDf, rightDf,
+        maxProposals = SemJoinMaxProposals, nlist = SemJoinAnnNlist,
+        nprobe = SemJoinAnnNprobe, kmeansIters = SemJoinAnnIters)
+      .select(col("left_id"), col("right_id"), round(col("dist"), 6).as("dist"))
+  }
+
+  /** DuckDB oracle for [[semanticJoinAnn]]: k-means over the right side
+    * (unrolled CTEs, the [[kmeansAssignSql]] recipe), nprobe nearest
+    * cells per left, capped candidate preference lists, then the SAME
+    * recursive-CTE GS rounds as [[semanticJoinSql]].
+    */
+  def semanticJoinAnnSql: String = {
+    val (nlist, nprobe, iters, maxP) =
+      (SemJoinAnnNlist, SemJoinAnnNprobe, SemJoinAnnIters, SemJoinMaxProposals)
+    def dist(p: String, c: String): String =
+      s"list_dot_product($p,$p) - 2*list_dot_product($p,$c) + list_dot_product($c,$c)"
+    def assignCte(name: String, cents: String, keepVec: Boolean): String =
+      s"""$name AS (SELECT id, cid${if (keepVec) ", v" else ""} FROM (
+         |  SELECT p.id, c.cid, p.v,
+         |    row_number() OVER (PARTITION BY p.id ORDER BY ${dist("p.v", "c.cv")}, c.cid) AS rnk
+         |  FROM rgt p CROSS JOIN $cents c) WHERE rnk = 1)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""${assignCte(s"a$i", s"c${i - 1}", keepVec = true)},
+         |u$i AS (SELECT cid, list(mean ORDER BY dim) AS cv FROM (
+         |  SELECT cid, dim, list_aggregate(list(x ORDER BY x), 'sum') / count(*) AS mean
+         |  FROM (SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS dim FROM a$i)
+         |  GROUP BY cid, dim) GROUP BY cid),
+         |c$i AS (SELECT c.cid, coalesce(u.cv, c.cv) AS cv FROM c${i - 1} c LEFT JOIN u$i u ON u.cid = c.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |lft AS (SELECT vec_id AS id, v FROM e WHERE vec_id % 2 = 0),
+       |rgt AS (SELECT vec_id AS id, v FROM e WHERE vec_id % 2 = 1),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, v AS cv
+       |       FROM (SELECT id, v FROM rgt ORDER BY id LIMIT $nlist)),
+       |$iterCtes,
+       |${assignCte("afin", s"c$iters", keepVec = false)},
+       |probe AS (SELECT left_id, cid FROM (
+       |  SELECT l.id AS left_id, c.cid,
+       |    row_number() OVER (PARTITION BY l.id ORDER BY ${dist("l.v", "c.cv")}, c.cid) AS rnk
+       |  FROM lft l CROSS JOIN c$iters c) WHERE rnk <= $nprobe),
+       |prefs AS (
+       |  SELECT left_id, right_id, dist,
+       |         CAST(row_number() OVER (PARTITION BY left_id ORDER BY dist, right_id) AS INT) AS pos
+       |  FROM (SELECT p.left_id, a.id AS right_id,
+       |          1.0 - list_dot_product(l.v, r.v) /
+       |            (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))) AS dist
+       |        FROM probe p
+       |        JOIN afin a ON a.cid = p.cid
+       |        JOIN rgt r ON r.id = a.id
+       |        JOIN lft l ON l.id = p.left_id)
+       |  QUALIFY pos <= $maxP
+       |),
+       |gs(iter, left_id, pos, eng_right, eng_dist) AS (
+       |  SELECT 0, id, 1, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE) FROM lft
+       |  UNION ALL
+       |  SELECT iter + 1, left_id,
+       |         pos + (CASE WHEN prop_right IS NOT NULL THEN 1 ELSE 0 END),
+       |         CASE WHEN cand_right IS NOT NULL AND rnk = 1 THEN cand_right END,
+       |         CASE WHEN cand_right IS NOT NULL AND rnk = 1 THEN cand_dist END
+       |  FROM (
+       |    SELECT st.*,
+       |           coalesce(st.eng_right, st.prop_right) AS cand_right,
+       |           coalesce(st.eng_dist, st.prop_dist) AS cand_dist,
+       |           row_number() OVER (PARTITION BY coalesce(st.eng_right, st.prop_right)
+       |                              ORDER BY coalesce(st.eng_dist, st.prop_dist), st.left_id) AS rnk,
+       |           max(CASE WHEN st.prop_right IS NOT NULL THEN 1 ELSE 0 END) OVER () AS any_prop
+       |    FROM (SELECT s.iter, s.left_id, s.pos, s.eng_right, s.eng_dist,
+       |                 p.right_id AS prop_right, p.dist AS prop_dist
+       |          FROM gs s LEFT JOIN prefs p
+       |            ON s.eng_right IS NULL AND p.left_id = s.left_id AND p.pos = s.pos) st
+       |  ) WHERE any_prop = 1
+       |)
+       |SELECT left_id, eng_right AS right_id, round(eng_dist, 6) AS dist
+       |FROM gs WHERE iter = (SELECT max(iter) FROM gs) AND eng_right IS NOT NULL
+       |ORDER BY left_id""".stripMargin
+  }
+
   /** Near-dup fixture view: `embeddings` ∪ a perturbed copy of every
     * vector (dim 0 scaled ×1.05, id + [[DupIdOffset]]) — the synthetic
     * table has no true near-duplicates (max pairwise cosine ≈ 0.6), so
