@@ -49,6 +49,10 @@ object IndexBuilder {
   /** Tokenize a corpus and build the full index at `root`.
     * `knownNDocs` skips the counting pass when the caller already knows
     * the corpus cardinality (a generated or manifest-tracked input).
+    * `fixedBucketSize` pins the docId-bucket width explicitly — the LSM
+    * knob: generations built with a SHARED bucketSize merge bucket-
+    * aligned ([[SegmentMerger.mergeAligned]]) instead of re-shuffling
+    * every posting through a rebuild.
     */
   def build(
       spark: SparkSession,
@@ -57,13 +61,14 @@ object IndexBuilder {
       idCol: String = "doc_id",
       textCol: String = "content",
       targetBuckets: Int = 0,
-      knownNDocs: Long = -1L): IndexStats = {
+      knownNDocs: Long = -1L,
+      fixedBucketSize: Long = 0L): IndexStats = {
     val tf = corpus
       .select(col(idCol).as("doc_id"), explode(Tokenizer.tokensCol(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val n = if (knownNDocs >= 0) knownNDocs else corpus.count()
-    buildFromTf(spark, tf, n, root, targetBuckets)
+    buildFromTf(spark, tf, n, root, targetBuckets, fixedBucketSize)
   }
 
   /** Build the index from an existing tf table (doc_id, term, tf) — the
@@ -78,7 +83,10 @@ object IndexBuilder {
       tfIn: DataFrame,
       nDocs: Long,
       root: String,
-      targetBuckets: Int = 0): IndexStats = {
+      targetBuckets: Int = 0,
+      fixedBucketSize: Long = 0L): IndexStats = {
+    require(targetBuckets == 0 || fixedBucketSize == 0L,
+      "targetBuckets and fixedBucketSize are alternative geometry pins")
     import spark.implicits._
     val layout = Layout(root)
     Files.createDirectories(Paths.get(root))
@@ -112,10 +120,18 @@ object IndexBuilder {
           .map { l => val Array(k, v) = l.split("=", 2); (k, v) }.toMap
         (kv("buckets").toInt, kv("bucketSize").toLong)
       } else {
-        val b =
-          if (targetBuckets > 0) targetBuckets
-          else math.max(1, math.min(spark.sparkContext.defaultParallelism, (nDocs / 64L).toInt + 1))
-        val bs = math.max(1L, (nDocs + b - 1) / b)
+        val (b, bs) =
+          if (fixedBucketSize > 0L)
+            // bucket COUNT is a parallelism/stats estimate only (bucket
+            // ids come from docId/bucketSize, and generation ids can
+            // start at an offset) — the pinned WIDTH is the identity
+            (math.max(1, ((nDocs + fixedBucketSize - 1) / fixedBucketSize).toInt), fixedBucketSize)
+          else {
+            val b0 =
+              if (targetBuckets > 0) targetBuckets
+              else math.max(1, math.min(spark.sparkContext.defaultParallelism, (nDocs / 64L).toInt + 1))
+            (b0, math.max(1L, (nDocs + b0 - 1) / b0))
+          }
         Files.writeString(geomPath, s"buckets=$b\nbucketSize=$bs\n")
         (b, bs)
       }
@@ -206,36 +222,46 @@ object IndexBuilder {
     // ---- stage 4: dictionary + stats, derived from segment rows ---------
     if (!committed("dict")) {
       val t0 = System.nanoTime()
-      spark.read.parquet(layout.segments).as[PostingRow]
-        .groupByKey(_.term)
-        .mapGroups { (term, it) =>
-          var df = 0L
-          var mx = 0.0
-          val bks = scala.collection.mutable.ArrayBuffer.empty[Int]
-          it.foreach { r =>
-            df += r.df
-            if (r.maxTfNorm > mx) mx = r.maxTfNorm
-            bks += r.bucket
-          }
-          // the bucket list is always EXPLICIT: generation indexes hold
-          // docId subranges, so their bucket ids are not 0-based and no
-          // "all buckets" sentinel can expand correctly for them
-          DictRow(term, df, mx, bks.sorted.toArray)
-        }
-        // range-partitioned, term-sorted dictionary: per-query term
-        // lookups prune to one file + one row group via min/max stats
-        .repartitionByRange(col("term"))
-        .sortWithinPartitions(col("term"))
-        .write.mode(SaveMode.Overwrite).parquet(layout.dict)
-
-      val agg = spark.read.parquet(layout.dict).as[DictRow]
-        .agg(count(lit(1)), sum($"df")).head()
-      Meta.writeStats(root, IndexStats(nDocs, totalTokens, agg.getLong(0),
-        agg.getLong(1), bucketSize, buckets))
-      commit("dict", agg.getLong(0), t0)
+      val (nTerms, totalPostings) = writeDictFiles(spark, layout)
+      Meta.writeStats(root, IndexStats(nDocs, totalTokens, nTerms,
+        totalPostings, bucketSize, buckets))
+      commit("dict", nTerms, t0)
     }
     // lineage + metrics (Iceberg-style JSON metadata, driver-side)
     if (manifests.nonEmpty) Meta.appendManifest(root, manifests.toSeq)
     Meta.readStats(root)
+  }
+
+  /** Derive the dictionary from the segment rows at `layout` and write it
+    * (range-partitioned, term-sorted — per-query term lookups prune to
+    * one file + one row group via min/max stats). Shared by the fresh
+    * build (stage 4) and the bucket-aligned LSM merge.
+    * @return (nTerms, totalPostings)
+    */
+  private[index] def writeDictFiles(spark: SparkSession, layout: Layout): (Long, Long) = {
+    import spark.implicits._
+    spark.read.parquet(layout.segments).as[PostingRow]
+      .groupByKey(_.term)
+      .mapGroups { (term, it) =>
+        var df = 0L
+        var mx = 0.0
+        val bks = scala.collection.mutable.ArrayBuffer.empty[Int]
+        it.foreach { r =>
+          df += r.df
+          if (r.maxTfNorm > mx) mx = r.maxTfNorm
+          bks += r.bucket
+        }
+        // the bucket list is always EXPLICIT: generation indexes hold
+        // docId subranges, so their bucket ids are not 0-based and no
+        // "all buckets" sentinel can expand correctly for them
+        DictRow(term, df, mx, bks.sorted.toArray)
+      }
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"))
+      .write.mode(SaveMode.Overwrite).parquet(layout.dict)
+
+    val agg = spark.read.parquet(layout.dict).as[DictRow]
+      .agg(count(lit(1)), sum($"df")).head()
+    (agg.getLong(0), agg.getLong(1))
   }
 }

@@ -1,9 +1,12 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.codec.PostingCodec
+import graft.query.Bm25
 
 /** LSM compaction of index generations — the analog of the reference's
   * `compact` + `isolate` maintenance pair
@@ -12,11 +15,24 @@ import graft.codec.PostingCodec
   * physically dropped (postings AND norms), and every posting block is
   * re-encoded so its block-max summary reflects the merged corpus stats.
   *
-  * Implementation: decode source segments back to (doc_id, term, tf)
-  * rows (a distributed flatMap — no driver materialization), anti-join
-  * the tombstones, and rebuild through IndexBuilder.buildFromTf. That
-  * reuses the one tested build path, so a merged index is
-  * byte-equivalent in behavior to a fresh build over the surviving docs.
+  * Two strategies, identical results:
+  *
+  *   - [[mergeAligned]] — generations sharing a bucketSize (built with
+  *     `fixedBucketSize`, the steady-state LSM shape) merge PER BUCKET:
+  *     posting rows and norms shuffle once, keyed by bucket, and each
+  *     bucket task k-way-merges its already-sorted lists and re-encodes
+  *     blocks under the merged avgdl. Data moved ≈ the compressed index
+  *     (varbyte blocks), with no per-posting row explosion.
+  *   - [[mergeRebuild]] — the general path for arbitrary geometries:
+  *     decode source segments back to (doc_id, term, tf) rows and
+  *     rebuild through IndexBuilder.buildFromTf. Reuses the one tested
+  *     build path, so a merged index is byte-equivalent in behavior to a
+  *     fresh build over the surviving docs — but re-shuffles every
+  *     posting as an uncompressed row (3 shuffles + 2 materializations
+  *     of the tf table).
+  *
+  * [[merge]] dispatches: aligned when every generation shares one
+  * bucketSize and no re-bucketing was requested, rebuild otherwise.
   */
 object SegmentMerger {
 
@@ -35,6 +51,126 @@ object SegmentMerger {
     * (the remove/isolate path). Returns the merged stats.
     */
   def merge(
+      spark: SparkSession,
+      roots: Seq[String],
+      outRoot: String,
+      tombstones: Option[DataFrame] = None,
+      targetBuckets: Int = 0): IndexStats = {
+    require(roots.nonEmpty)
+    val sharedGeometry =
+      roots.map(r => Meta.readStats(r).bucketSize).distinct.size == 1
+    if (targetBuckets == 0 && sharedGeometry)
+      mergeAligned(spark, roots, outRoot, tombstones)
+    else
+      mergeRebuild(spark, roots, outRoot, tombstones, targetBuckets)
+  }
+
+  /** Bucket-aligned merge (see object doc). Requires every root to share
+    * one bucketSize; the merged index keeps it. Liveness authority is the
+    * merged norms table: a posting survives iff its doc's length row
+    * survived tombstoning — so postings filtering is a binary search per
+    * posting inside the bucket task, never a join over posting rows.
+    */
+  def mergeAligned(
+      spark: SparkSession,
+      roots: Seq[String],
+      outRoot: String,
+      tombstones: Option[DataFrame] = None): IndexStats = {
+    import spark.implicits._
+    require(roots.nonEmpty)
+    val bucketSizes = roots.map(r => Meta.readStats(r).bucketSize).distinct
+    require(bucketSizes.size == 1,
+      s"generations disagree on bucketSize ($bucketSizes) — use mergeRebuild")
+    val bucketSize = bucketSizes.head
+    val layout = IndexBuilder.Layout(outRoot)
+    Files.createDirectories(Paths.get(outRoot))
+
+    // tombstones grouped per bucket (sorted arrays) — shipped into the
+    // norms-merge tasks; no driver materialization
+    val tombByBucket = tombstones match {
+      case Some(ts) => ts.select(col("doc_id").cast("long")).as[Long]
+        .groupByKey(id => (id / bucketSize).toInt)
+        .mapGroups((b, it) => (b, it.toArray.sorted))
+      case None => spark.emptyDataset[(Int, Array[Long])]
+    }
+
+    // ---- merged norms: k-way merge of per-bucket sorted arrays ----------
+    val lensAll = roots
+      .map(r => spark.read.parquet(IndexBuilder.Layout(r).doclens).as[DocLenRow])
+      .reduce(_ union _)
+    lensAll.groupByKey(_.bucket)
+      .cogroup(tombByBucket.groupByKey(_._1)) { (bucket, rows, tombs) =>
+        val dead = tombs.flatMap(_._2).toSet
+        val pairs = rows.flatMap(r => r.docIds.zip(r.lens))
+          .filter(p => !dead.contains(p._1)).toArray.sortBy(_._1)
+        if (pairs.isEmpty) Iterator.empty
+        else Iterator.single(DocLenRow(bucket, pairs.map(_._1), pairs.map(_._2)))
+      }
+      .write.mode(SaveMode.Overwrite).parquet(layout.doclens)
+    Files.writeString(layout.statusFile("doclens"), "merged")
+
+    val lens = spark.read.parquet(layout.doclens).as[DocLenRow]
+    val totalsRow = lens.select(explode(col("lens")).as("l"))
+      .agg(count(lit(1)), sum(col("l"))).head()
+    val (nDocs, totalTokens) = (totalsRow.getLong(0), totalsRow.getLong(1))
+    val nBuckets = lens.select(col("bucket")).distinct().count().toInt
+    val avgdl = totalTokens.toDouble / nDocs.toDouble
+
+    // ---- merged segments: per-bucket k-way posting merge + re-encode ----
+    val segsAll = roots
+      .map(r => spark.read.parquet(IndexBuilder.Layout(r).segments).as[PostingRow])
+      .reduce(_ union _)
+    val avgdlLocal = avgdl
+    segsAll.groupByKey(_.bucket)
+      .cogroup(lens.groupByKey(_.bucket)) { (bucket, posts, lensIt) =>
+        val lensArr = lensIt.toArray
+        if (lensArr.isEmpty) Iterator.empty // whole bucket tombstoned
+        else {
+          val dIds = lensArr.head.docIds
+          val dLens = lensArr.head.lens
+          posts.toArray.groupBy(_.term).iterator.flatMap { case (term, rows) =>
+            // decode each generation's (already-sorted, disjoint-range)
+            // list, keep live postings, merge by docId
+            val pairs = rows.iterator.flatMap { r =>
+              val p = PostingCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq)
+              Iterator.tabulate(p.size)(i => (p.docIds(i), p.tfs(i)))
+            }.filter(p => java.util.Arrays.binarySearch(dIds, p._1) >= 0)
+              .toArray.sortBy(_._1)
+            if (pairs.isEmpty) Iterator.empty
+            else {
+              val ids = pairs.map(_._1)
+              val tfs = pairs.map(_._2)
+              val norms = Array.tabulate(ids.length) { i =>
+                val di = java.util.Arrays.binarySearch(dIds, ids(i))
+                Bm25.tfNorm(tfs(i), dLens(di), avgdlLocal)
+              }
+              val blocks = PostingCodec
+                .encodeBlocks(ids, tfs, i => norms(i))
+                .map(b => EncBlock(b.firstDocId, b.lastDocId, b.count, b.maxTfNorm, b.bytes))
+              Iterator.single(PostingRow(term, bucket, ids.length.toLong, norms.max, blocks))
+            }
+          }
+        }
+      }
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(layout.segments)
+    Files.writeString(layout.statusFile("segments"), "merged")
+
+    // ---- dictionary + metadata: the builder's own stage-4 path ----------
+    val (nTerms, totalPostings) = IndexBuilder.writeDictFiles(spark, layout)
+    Meta.writeStats(outRoot,
+      IndexStats(nDocs, totalTokens, nTerms, totalPostings, bucketSize, nBuckets))
+    Files.writeString(layout.statusFile("dict"), "merged")
+    Files.writeString(Paths.get(outRoot, "geometry.properties"),
+      s"buckets=$nBuckets\nbucketSize=$bucketSize\n")
+    Meta.appendManifest(outRoot, Seq(
+      ManifestRow(1L, "merge_aligned", -1, roots.mkString(","), nDocs, 0L, "committed")))
+    Meta.readStats(outRoot)
+  }
+
+  /** General-geometry merge: decode to tf rows, anti-join tombstones,
+    * rebuild via the one tested build path.
+    */
+  def mergeRebuild(
       spark: SparkSession,
       roots: Seq[String],
       outRoot: String,

@@ -67,6 +67,56 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("bucket-aligned merge (shared fixedBucketSize) equals a fresh full build") {
+    // generations pinned to one bucketSize (the steady-state LSM shape);
+    // merge() must dispatch to the aligned path — whose discriminator is
+    // that it never writes a tokens table — and still be search-identical
+    // to the fresh build, block-max summaries re-encoded under the
+    // merged avgdl included
+    val a = tmp("ba"); val b = tmp("bb")
+    IndexBuilder.build(spark, corpusDf(0, half), a, fixedBucketSize = 40)
+    IndexBuilder.build(spark, corpusDf(half, n), b, fixedBucketSize = 40)
+    val out = tmp("bmerged")
+    val st = SegmentMerger.merge(spark, Seq(a, b), out)
+    assert(!Files.exists(java.nio.file.Paths.get(out, "tokens")),
+      "shared-geometry merge must take the aligned path (no tf rebuild)")
+    val single = new Searcher(spark, fullRoot)
+    assert(st.nDocs == single.stats.nDocs)
+    assert(st.totalTokens == single.stats.totalTokens)
+    assert(st.nTerms == single.stats.nTerms)
+    assert(st.totalPostings == single.stats.totalPostings)
+    val merged = new Searcher(spark, out)
+    queries.foreach { case (qid, q) =>
+      assert(topk(merged.search(q, 10)) == topk(single.search(q, 10)), s"q$qid '$q'")
+    }
+  }
+
+  test("bucket-aligned tombstoned merge equals the rebuild path's result") {
+    // bucketSize 33: bucket 3 (docs 99-131) SPANS both generations, so
+    // the per-bucket k-way merge of same-bucket lists from different
+    // generations is exercised, tombstones included
+    val a = tmp("bta"); val b = tmp("btb")
+    IndexBuilder.build(spark, corpusDf(0, half), a, fixedBucketSize = 33)
+    IndexBuilder.build(spark, corpusDf(half, n), b, fixedBucketSize = 33)
+    val removed = (0L until n.toLong).filter(_ % 5 == 0)
+    val ts = removed.toDF("doc_id")
+    val outA = tmp("bt-aligned"); val outR = tmp("bt-rebuild")
+    val stA = SegmentMerger.mergeAligned(spark, Seq(a, b), outA, Some(ts))
+    val stR = SegmentMerger.mergeRebuild(spark, Seq(a, b), outR, Some(ts), targetBuckets = 4)
+    assert(stA.nDocs == stR.nDocs)
+    assert(stA.totalTokens == stR.totalTokens)
+    assert(stA.nTerms == stR.nTerms)
+    assert(stA.totalPostings == stR.totalPostings)
+    val ma = new Searcher(spark, outA)
+    val mr = new Searcher(spark, outR)
+    queries.foreach { case (qid, q) =>
+      assert(topk(ma.search(q, 10)) == topk(mr.search(q, 10)), s"q$qid '$q'")
+    }
+    queries.foreach { case (_, q) =>
+      assert(topk(ma.search(q, 50)).map(_._1).forall(_ % 5 != 0))
+    }
+  }
+
   test("update lifecycle: tombstone old version + ingest new version (update analog)") {
     // the reference's `update` replaces a member in place
     // (/root/reference/include/usearch/index.hpp:2911-2999); content-
