@@ -45,6 +45,7 @@ object Bench {
       graft.ops.Fulltext.indexFor(spark, sfDir)
       graft.ops.Fulltext.engBm25MultiGen(spark, sfDir).collect()
       graft.ops.Similarity.ivfIndexFor(spark, sfDir)
+      graft.ops.Similarity.semJoinIvfFor(spark, sfDir)
     }
 
     // relational + pipeline queries (collect forces the full plan).

@@ -42,8 +42,9 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
   // dictionary touches one file + one row group, and at 10¹² docs the
   // dictionary never needs to fit in RAM. `cacheHot = true` is the
   // opt-in repeated-query serving mode (the usearch `view`/in-RAM
-  // analog) that pins the small side tables in memory — for bounded
-  // indexes served hot, not the scale default.
+  // analog): the dictionary loads ONCE into a driver-side map — query
+  // planning then costs ZERO Spark jobs — and the norms pin in executor
+  // memory. For bounded indexes served hot, not the scale default.
   private lazy val dictDS = {
     val raw = spark.read.parquet(layout.dict)
     // round-2 format change: DictRow gained per-term bucket lists. An
@@ -53,9 +54,10 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
       throw new IllegalStateException(
         s"index at $root was built by an older graft version (dictionary has " +
           "no per-term bucket lists) — delete the index root and rebuild")
-    val d = raw.as[DictRow]
-    if (cacheHot) { val c = d.cache(); c.count(); c } else d
+    raw.as[DictRow]
   }
+  private lazy val hotDict: Map[String, DictRow] =
+    dictDS.collect().map(d => d.term -> d).toMap
   private lazy val doclensDS = {
     val d = spark.read.parquet(layout.doclens).as[DocLenRow]
     if (cacheHot) { val c = d.cache(); c.count(); c } else d
@@ -80,11 +82,14 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     */
   def dictRows(terms: Seq[String]): Map[String, DictRow] = {
     if (terms.isEmpty) return Map.empty
-    dictDS
-      .where($"term".isin(terms: _*))
-      .collect()
-      .map(d => d.term -> d)
-      .toMap
+    if (cacheHot)
+      terms.iterator.flatMap(t => hotDict.get(t).map(t -> _)).toMap
+    else
+      dictDS
+        .where($"term".isin(terms: _*))
+        .collect()
+        .map(d => d.term -> d)
+        .toMap
   }
 
   /** Top-k search. Returns DataFrame(doc_id: Long, score: Double) ordered
@@ -183,7 +188,6 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     * by (score desc, doc_id asc), exactly what per-query [[search]] gives.
     */
   def searchMany(queries: Seq[(Int, String)], k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val qTerms: Seq[(Int, Array[String])] =
       queries.map { case (id, q) => (id, Tokenizer.tokenize(q).distinct.sorted) }
     val allTerms = qTerms.flatMap(_._2).distinct.sorted
@@ -239,11 +243,16 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
       }
       .toDF("query_id", "doc_id", "score")
 
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), asc("doc_id"))
+    // global per-query top-k via the bounded aggregate (same total order
+    // as a row_number window — score desc, doc_id asc — but it PARTIAL-
+    // aggregates map-side, so the merge shuffle moves one bounded buffer
+    // per (query, partition) and needs no per-partition sort)
     perBucket
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.greatest(col("score"), col("doc_id"), k).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("rnk0", "h")))
+      .select(col("query_id"), col("h.id").as("doc_id"), col("h.score").as("score"),
+        (col("rnk0") + 1).as("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 }

@@ -91,6 +91,24 @@ object SemanticJoin {
     out
   }
 
+  /** [[joinIvf]] against a PRE-BUILT cell structure (centroids: (cid,
+    * cvec), assignments: (cid, id)) — the reference's model: the join
+    * queries an index that already exists (index.hpp:4337-4338); fitting
+    * it per call charges an index build to every query. k-means is
+    * deterministic, so pre-built vs freshly-fitted cells give the
+    * identical matching.
+    */
+  def joinIvfWith(
+      spark: SparkSession,
+      left: DataFrame,
+      right: DataFrame,
+      maxProposals: Int,
+      nprobe: Int,
+      centroids: DataFrame,
+      assignments: DataFrame): DataFrame =
+    gsRounds(spark, left,
+      prefsOf(scoredAgainstCells(left, right, nprobe, centroids, assignments), maxProposals))
+
   /** The ANN candidate-scored (left_id, right_id, dist) pairs plus the
     * fitted IVF structure (the caller owns the Result's caches) —
     * separated from [[joinIvf]] so tests can pin the candidate plan shape
@@ -103,16 +121,24 @@ object SemanticJoin {
       nlist: Int,
       nprobe: Int,
       kmeansIters: Int): (DataFrame, KMeans.Result) = {
-
     val km = KMeans.fit(spark,
       right.select(col("id"), col("vec")), k = nlist, iterations = kmeansIters)
+    (scoredAgainstCells(left, right, nprobe, km.centroids,
+      km.assignments.select(col("cid"), col("id"))), km)
+  }
 
+  private def scoredAgainstCells(
+      left: DataFrame,
+      right: DataFrame,
+      nprobe: Int,
+      centroids: DataFrame,
+      assignments: DataFrame): DataFrame = {
     // nprobe nearest cells per left by (l2sq, cid) — the same distance the
     // k-means geometry was built with; nlist rows broadcast
     val lv = left.select(col("id").as("left_id"),
       col("vec").cast("array<double>").as("lv"))
       .withColumn("lnorm", sqrt(Similarity.dot(col("lv"), col("lv"))))
-    val probed = lv.crossJoin(broadcast(km.centroids))
+    val probed = lv.crossJoin(broadcast(centroids))
       .select(col("left_id"), col("lv"), col("lnorm"),
         struct(
           (Similarity.dot(col("lv"), col("lv"))
@@ -131,13 +157,12 @@ object SemanticJoin {
     val rv = right.select(col("id").as("right_id"),
       col("vec").cast("array<double>").as("rv"))
       .withColumn("rnorm", sqrt(Similarity.dot(col("rv"), col("rv"))))
-    val scored = probed
-      .join(km.assignments.select(col("cid"), col("id").as("right_id")), "cid")
+    probed
+      .join(assignments.select(col("cid"), col("id").as("right_id")), "cid")
       .join(rv, "right_id")
       .select(col("left_id"), col("right_id"),
         (lit(1.0) - Similarity.dot(col("lv"), col("rv")) / (col("lnorm") * col("rnorm")))
           .as("dist"))
-    (scored, km)
   }
 
   /** Per-left top-M preference lists from scored (left_id, right_id,

@@ -477,15 +477,44 @@ object Similarity {
     * ([[semanticJoinAnnSql]]): the approximation is in the ALGORITHM
     * (identical in both engines), never in the execution.
     */
+  /** Persisted right-side cell structure for [[semanticJoinAnn]] — built
+    * once per data dir and served from Parquet thereafter (the same
+    * index-at-add-time model as [[ivfIndexFor]]; fitting k-means inside
+    * every join call charged an index build to each query). k-means is
+    * deterministic, so loading vs refitting yields identical cells.
+    */
+  def semJoinIvfFor(spark: SparkSession, dir: String,
+      nlist: Int = SemJoinAnnNlist, iters: Int = SemJoinAnnIters): IvfIndex = {
+    import java.nio.file.{Files, Paths}
+    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val root = s"${sys.props("java.io.tmpdir")}/graft-ivf-$key-semjoin-n$nlist-i$iters"
+    val marker = Paths.get(root, "_committed")
+    if (!Files.exists(marker)) {
+      val rightPts = emb(spark, dir).where(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val km = graft.index.KMeans.fit(spark, rightPts, k = nlist, iterations = iters)
+      km.centroids.write.mode("overwrite").parquet(s"$root/centroids")
+      km.assignments.select(col("cid"), col("id"))
+        .write.mode("overwrite").parquet(s"$root/assignments")
+      Files.writeString(marker, "ok")
+      km.centroids.unpersist()
+      km.assignments.unpersist()
+    }
+    IvfIndex(
+      spark.read.parquet(s"$root/centroids"),
+      spark.read.parquet(s"$root/assignments"))
+  }
+
   def semanticJoinAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val leftDf = e.where(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val rightDf = e.where(col("vec_id") % 2 === 1)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    graft.index.SemanticJoin.joinIvf(spark, leftDf, rightDf,
-        maxProposals = SemJoinMaxProposals, nlist = SemJoinAnnNlist,
-        nprobe = SemJoinAnnNprobe, kmeansIters = SemJoinAnnIters)
+    val ivf = semJoinIvfFor(spark, dir)
+    graft.index.SemanticJoin.joinIvfWith(spark, leftDf, rightDf,
+        maxProposals = SemJoinMaxProposals, nprobe = SemJoinAnnNprobe,
+        centroids = ivf.centroids, assignments = ivf.assignments)
       .select(col("left_id"), col("right_id"), round(col("dist"), 6).as("dist"))
   }
 

@@ -73,6 +73,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_topkagg"), s"no partial TopKAgg in:\n$plan")
   }
 
+  test("searchMany's global merge partial-aggregates per query (no window sort)") {
+    val root = Files.createTempDirectory("graft-plan3-").toString
+    val indexed = spark.range(0, 100).map(i => (i, CorpusGen.genDoc(42L, i).content))
+      .toDF("doc_id", "content")
+    IndexBuilder.build(spark, indexed, root, targetBuckets = 2)
+    val plan = planOf(new graft.index.Searcher(spark, root)
+      .searchMany(CorpusGen.querySet(5), 10))
+    assert(plan.contains("partial_topkagg"), s"no partial TopKAgg merge in:\n$plan")
+    assert(!plan.contains("WindowExec"), s"per-query merge still a window:\n$plan")
+  }
+
   test("hot terms are bucket-salted: posting-row size is bounded by bucket width") {
     // a term in EVERY doc ("def" is in every generated doc) must be split
     // into one posting row per docId-bucket — no task ever materializes a

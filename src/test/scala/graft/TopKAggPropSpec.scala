@@ -20,6 +20,27 @@ class TopKAggPropSpec extends SparkSpec {
     } yield (g, s, id))
   } yield rows
 
+  test("NaN scores are skipped outright, never poisoning the buffer") {
+    // the comparator is not a total order over NaN (compare(a,b) =
+    // compare(b,a) = 1), and window oracles disagree cross-engine on
+    // where NaN sorts — the declared policy drops NaN rows like nulls
+    val rows = Seq(
+      (1, 0.5, 10L), (1, Double.NaN, 11L), (1, 0.2, 12L),
+      (1, Double.NaN, 13L), (1, 0.9, 14L))
+    val got = spark.createDataset(rows).toDF("g", "s", "id")
+      .groupBy($"g")
+      .agg(graft.functions.TopKAgg.least($"s", $"id", 2).as("t"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](1)
+      .map(x => (x.getDouble(0), x.getLong(1))).toList
+    assert(got == List((0.2, 12L), (0.5, 10L)))
+    val gotMax = spark.createDataset(rows).toDF("g", "s", "id")
+      .groupBy($"g")
+      .agg(graft.functions.TopKAgg.greatest($"s", $"id", 10).as("t"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](1)
+      .map(x => (x.getDouble(0), x.getLong(1))).toList
+    assert(gotMax == List((0.9, 14L), (0.5, 10L), (0.2, 12L)))
+  }
+
   test("TopKAgg == sorted-take oracle on random data, any partitioning") {
     var seed = org.scalacheck.rng.Seed(12345L)
     (1 to 20).foreach { _ =>
