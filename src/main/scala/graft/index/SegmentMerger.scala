@@ -103,6 +103,17 @@ object SegmentMerger {
         val dead = tombs.flatMap(_._2).toSet
         val pairs = rows.flatMap(r => r.docIds.zip(r.lens))
           .filter(p => !dead.contains(p._1)).toArray.sortBy(_._1)
+        // LSM generations own DISJOINT id ranges; the same doc in two
+        // generations (an update ingested without tombstoning the old
+        // revision) would silently double its postings — fail loudly
+        var i = 1
+        while (i < pairs.length) {
+          if (pairs(i)._1 == pairs(i - 1)._1)
+            throw new IllegalStateException(
+              s"doc ${pairs(i)._1} exists in more than one generation " +
+                "(bucket " + bucket + ") — tombstone the stale revision before merging")
+          i += 1
+        }
         if (pairs.isEmpty) Iterator.empty
         else Iterator.single(DocLenRow(bucket, pairs.map(_._1), pairs.map(_._2)))
       }

@@ -117,6 +117,22 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("aligned merge rejects generations holding the same doc id") {
+    // an update ingested without tombstoning its old revision would
+    // silently double that doc's postings — the merge must fail loudly
+    val a = tmp("ovA"); val c = tmp("ovC")
+    IndexBuilder.build(spark, corpusDf(0, 100), a, fixedBucketSize = 50)
+    IndexBuilder.build(spark, corpusDf(50, 150), c, fixedBucketSize = 50)
+    val out = tmp("ovM")
+    val e = intercept[Exception] {
+      SegmentMerger.mergeAligned(spark, Seq(a, c), out)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("more than one generation")),
+      s"unexpected failure: ${messages(e)}")
+  }
+
   test("update lifecycle: tombstone old version + ingest new version (update analog)") {
     // the reference's `update` replaces a member in place
     // (/root/reference/include/usearch/index.hpp:2911-2999); content-
