@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Dedup, Fulltext, MultiVector, Relational, Similarity, TextAnalysis, UsearchOps}
+import graft.ops.{Dedup, Fulltext, MetricQueries, MultiVector, Relational, Similarity, TextAnalysis, UsearchOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -54,6 +54,16 @@ object SparkEntry {
     "sim_recall_i8" -> Similarity.recallI8 _,
     "sim_knn_b1" -> ((s: SparkSession, d: String) => Similarity.knnB1(s, d)),
     "sim_recall_b1" -> Similarity.recallB1 _,
+    "sim_knn_f16" -> ((s: SparkSession, d: String) => Similarity.knnF16(s, d)),
+    "sim_recall_f16" -> Similarity.recallF16 _,
+    // the rest of the metric surface, driver-oracled
+    "sim_knn_ip" -> ((s: SparkSession, d: String) => MetricQueries.knnIp(s, d)),
+    "sim_knn_l2sq" -> ((s: SparkSession, d: String) => MetricQueries.knnL2sq(s, d)),
+    "sim_pearson" -> MetricQueries.pearsonPairs _,
+    "sim_divergence" -> MetricQueries.divergencePairs _,
+    "sim_haversine" -> MetricQueries.haversinePairs _,
+    "sim_tanimoto_b1" -> MetricQueries.tanimotoB1 _,
+    "sim_sorensen_b1" -> MetricQueries.sorensenB1 _,
     "sim_knn_metric" -> ((s: SparkSession, d: String) =>
       Similarity.knnWithMetric(s, d, graft.functions.Metric.Cos)),
     "mv_count" -> MultiVector.mvCount _,
@@ -136,6 +146,15 @@ object SparkEntry {
     "sim_recall_i8" -> Similarity.recallI8Sql,
     "sim_knn_b1" -> Similarity.knnB1Sql(),
     "sim_recall_b1" -> Similarity.recallB1Sql,
+    "sim_knn_f16" -> Similarity.knnF16Sql(),
+    "sim_recall_f16" -> Similarity.recallF16Sql,
+    "sim_knn_ip" -> MetricQueries.knnIpSql(),
+    "sim_knn_l2sq" -> MetricQueries.knnL2sqSql(),
+    "sim_pearson" -> MetricQueries.pearsonPairsSql,
+    "sim_divergence" -> MetricQueries.divergencePairsSql,
+    "sim_haversine" -> MetricQueries.haversinePairsSql,
+    "sim_tanimoto_b1" -> MetricQueries.tanimotoB1Sql,
+    "sim_sorensen_b1" -> MetricQueries.sorensenB1Sql,
     "sim_knn_metric" -> Similarity.knnWithMetricCosSql(),
     "mv_count" -> MultiVector.mvCountSql,
     "mv_distance" -> MultiVector.mvDistanceSql,

@@ -99,11 +99,15 @@ object Distances {
     sqrt(aggregate(terms, lit(0.0), (acc, v) => acc + v) / lit(2.0))
   }
 
-  /** `metric_haversine_gt` (:1636-1657): great-circle distance, radians. */
+  /** `metric_haversine_gt` (:1636-1657): great-circle distance, radians.
+    * Squares are explicit multiplications, not pow(): Math.pow(x, 2) is
+    * not guaranteed bit-equal to x·x, and the DuckDB oracle twin
+    * (MetricQueries.haversinePairsSql) mirrors this exact op order.
+    */
   def haversine(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
-    val dlat = (lat2 - lat1) / 2.0
-    val dlon = (lon2 - lon1) / 2.0
-    val h = pow(sin(dlat), 2.0) + cos(lat1) * cos(lat2) * pow(sin(dlon), 2.0)
+    val sdlat = sin((lat2 - lat1) / 2.0)
+    val sdlon = sin((lon2 - lon1) / 2.0)
+    val h = sdlat * sdlat + cos(lat1) * cos(lat2) * (sdlon * sdlon)
     lit(2.0) * asin(sqrt(h))
   }
 

@@ -54,6 +54,53 @@ object Quantize {
   def b1(v: Column): Column =
     Bridge.column(QuantizeB1(Bridge.expression(v.cast("array<double>"))))
 
+  /** IEEE-754 binary16 (f16) rounding — the reference's headline
+    * half-precision dtype (`f16_t`
+    * /root/reference/include/usearch/index_plugins.hpp:299-352; recall
+    * table /root/reference/README.md:249-269) — expressed in PURE DOUBLE
+    * ARITHMETIC so the DuckDB twin is bit-identical:
+    *
+    *   - normals (|x| ≥ 2⁻¹⁴): Veltkamp/Dekker split with C = 2⁴²+1 —
+    *     `t = x·C; t − (t − x)` rounds x to 53−42 = 11 significand bits
+    *     at x's own exponent (round-to-nearest, ties-to-even), which IS
+    *     the f16 significand rounding;
+    *   - subnormals (|x| < 2⁻¹⁴): `(|x| + 1.5·2²⁸) − 1.5·2²⁸` rounds the
+    *     magnitude to the f16 subnormal step 2⁻²⁴ (the 1.5·2²⁸ offset
+    *     keeps the sum inside the exponent-28 binade, whose ulp is 2⁻²⁴,
+    *     for positive AND tiny inputs alike), then the sign is restored
+    *     by a branch (not `signum` — signum(−0.0) would reintroduce
+    *     −0.0);
+    *   - |x| > 65504 (f16 max normal) saturates, matching the i8 clamp
+    *     convention; `+ 0.0` normalizes −0.0 (repo float rule).
+    *
+    * Every step is a single correctly-rounded IEEE double op in a fixed
+    * order, so Spark and DuckDB produce the same 64 bits; the rounded
+    * values are exact halves, so downstream double dot products stay
+    * cross-engine exact too. QuantizeSpec pins the trick against an
+    * independent bit-level converter (Math.getExponent + rint).
+    */
+  def f16(v: Column): Column = transform(v.cast("array<double>"), x => f16Scalar(x))
+
+  /** Scalar f16 rounding of one double column (see [[f16]]). */
+  def f16Scalar(x: Column): Column = {
+    val xc = greatest(least(x, lit(65504.0)), lit(-65504.0))
+    val sub = (abs(xc) + lit(402653184.0)) - lit(402653184.0) // 1.5·2²⁸
+    val t = xc * lit(4398046511105.0) // 2⁴²+1
+    (when(abs(xc) < lit(6.103515625e-05), // 2⁻¹⁴
+      when(xc < 0.0, -sub).otherwise(sub))
+      .otherwise(t - (t - xc))) + lit(0.0)
+  }
+
+  /** DuckDB twin of [[f16]] — the same doubles in the same order. */
+  def f16Sql(v: String): String = {
+    val xc = "greatest(least(x, 65504.0), -65504.0)"
+    val sub = s"((abs($xc) + 402653184.0) - 402653184.0)"
+    val t = s"($xc * 4398046511105.0)"
+    s"list_transform($v::DOUBLE[], x -> (CASE WHEN abs($xc) < 6.103515625e-05 " +
+      s"THEN (CASE WHEN $xc < 0 THEN -$sub ELSE $sub END) " +
+      s"ELSE ($t - ($t - $xc)) END) + 0.0)"
+  }
+
   /** DuckDB twin of [[b1]]: identical packing via integer arithmetic —
     * bit sums accumulate in HUGEINT (bit 63 enters as Long.MinValue) and
     * cast back to BIGINT, so every word is bit-identical to Spark's.

@@ -162,6 +162,50 @@ object Similarity {
        |SELECT 10 AS k, CAST(count(*) * 1000 AS BIGINT) AS recall_bp
        |FROM b1 JOIN ex USING (vec_id)""".stripMargin
 
+  /** f16 half-precision exact top-k — the reference's f16 dtype
+    * (/root/reference/include/usearch/index_plugins.hpp:299-352; recall
+    * table README.md:249-269). Vectors are rounded to IEEE binary16 via
+    * [[graft.functions.Quantize.f16]] (pure-double-arithmetic rounding,
+    * so the DuckDB twin is bit-identical), then scored with the same
+    * double cosine as the exact path — halves are exact doubles, so the
+    * quantized scores stay cross-engine exact.
+    */
+  def knnF16(spark: SparkSession, dir: String, k: Int = 10,
+      queryVecId: Long = 0L): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), graft.functions.Quantize.f16(col("embedding")).as("hv"))
+    val q = broadcast(e.where(col("vec_id") === queryVecId).select(col("hv").as("hq")))
+    e.crossJoin(q)
+      .select(col("vec_id"), cosine(col("hv"), col("hq")).as("cos_raw"))
+      .orderBy(desc("cos_raw"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
+  def knnF16Sql(k: Int = 10, queryVecId: Long = 0L): String =
+    s"""WITH qe AS (SELECT vec_id, ${graft.functions.Quantize.f16Sql("embedding")} AS hv FROM embeddings),
+       |q AS (SELECT hv AS hq FROM qe WHERE vec_id = $queryVecId)
+       |SELECT vec_id, round(${cosineSql("hv", "hq")}, 6) AS cos_sim
+       |FROM qe, q ORDER BY ${cosineSql("hv", "hq")} DESC, vec_id LIMIT $k""".stripMargin
+
+  /** recall@10 of the f16 ranking vs the f64 exact ranking, basis points
+    * (the f16 row of the reference's recall-per-dtype table — expected at
+    * or near 1.0: 11 significand bits perturb 64-d cosines ~1e-3).
+    */
+  def recallF16(spark: SparkSession, dir: String): DataFrame =
+    graft.eval.Eval.recallBp(spark,
+      knnF16(spark, dir), knnExact(spark, dir), "vec_id", 10)
+
+  def recallF16Sql: String =
+    s"""WITH qe AS (SELECT vec_id, ${graft.functions.Quantize.f16Sql("embedding")} AS hv FROM embeddings),
+       |q AS (SELECT hv AS hq FROM qe WHERE vec_id = 0),
+       |h16 AS (SELECT vec_id FROM qe, q ORDER BY ${cosineSql("hv", "hq")} DESC, vec_id LIMIT 10),
+       |qx AS (SELECT embedding AS xq FROM embeddings WHERE vec_id = 0),
+       |ex AS (SELECT vec_id FROM embeddings, qx
+       |       ORDER BY ${cosineSql("embedding", "xq")} DESC, vec_id LIMIT 10)
+       |SELECT 10 AS k, CAST(count(*) * 1000 AS BIGINT) AS recall_bp
+       |FROM h16 JOIN ex USING (vec_id)""".stripMargin
+
   /** Batched multi-query exact kNN — the embedding-side `searchMany`
     * (the reference's `exact_search_t` scores MANY queries in one pass,
     * /root/reference/include/usearch/index_plugins.hpp:2071-2164): one

@@ -73,6 +73,59 @@ class QuantizeSpec extends SparkSpec {
     assert(recall >= 0.2, s"b1 recall@10 too low: $recall")
   }
 
+  /** Independent IEEE binary16 rounding oracle for [[Quantize.f16]]'s
+    * pure-double-arithmetic trick: exact power-of-two scaling
+    * (Math.getExponent, no log2) + Math.rint (ties-to-even).
+    */
+  private def refF16(d: Double): Double = {
+    val c = math.max(-65504.0, math.min(65504.0, d))
+    if (c == 0.0) return 0.0
+    val step =
+      if (math.abs(c) < 6.103515625e-05) math.pow(2.0, -24) // f16 subnormal step
+      else math.pow(2.0, math.getExponent(c) - 10) // 11-bit significand
+    math.rint(c / step) * step + 0.0
+  }
+
+  test("f16 quantization: Veltkamp/offset arithmetic == bit-level IEEE rounding") {
+    // exact f16 values are fixed points; ties round to even
+    val fixedPoints = Seq(0.0, 0.5, 1.0, -0.25, 65504.0, -65504.0,
+      math.pow(2, -24), -math.pow(2, -24), math.pow(2, -14), 1.0 + 1.0 / 1024)
+    // ties: 1 + 2⁻¹¹ is halfway between 1 and 1+2⁻¹⁰ → even → 1;
+    // 1 + 3·2⁻¹¹ is halfway between 1+2⁻¹⁰ and 1+2⁻⁹ → even → 1+2⁻⁹
+    val ties = Seq(1.0 + 1.0 / 2048 -> 1.0, 1.0 + 3.0 / 2048 -> (1.0 + 2.0 / 1024))
+    // deterministic sweep across the normal, subnormal, and clamp ranges
+    val rnd = new java.util.Random(1234)
+    val sweep = (1 to 2000).map { _ =>
+      val u = rnd.nextDouble() * 2 - 1
+      rnd.nextInt(4) match {
+        case 0 => u // typical embedding range
+        case 1 => u * 1e-4 // straddles the 2^-14 boundary
+        case 2 => u * 1e-6 // deep subnormal f16 range
+        case 3 => u * 70000 // exercises the ±65504 clamp
+      }
+    }
+    val all = fixedPoints ++ ties.map(_._1) ++ sweep
+    val got = all.map(x => (x, Array(x))).toDF("x", "v")
+      .select($"x", element_at(Quantize.f16($"v"), 1).as("h"))
+      .as[(Double, Double)].collect().toMap
+    for (x <- fixedPoints)
+      assert(got(x) == x + 0.0, s"f16($x) must be a fixed point, got ${got(x)}")
+    for ((x, want) <- ties)
+      assert(got(x) == want, s"f16($x) tie must round to even $want, got ${got(x)}")
+    for (x <- sweep)
+      assert(java.lang.Double.doubleToLongBits(got(x)) ==
+        java.lang.Double.doubleToLongBits(refF16(x)),
+        s"f16($x): got ${got(x)}, ref ${refF16(x)}")
+  }
+
+  test("f16 recall@10 vs f64 exact: 11 significand bits keep the top-10") {
+    val exact = Similarity.knnExact(spark, dir, k = 10)
+    val f16 = Similarity.knnF16(spark, dir, k = 10)
+    val recall = Eval.recallAt(f16, exact, "vec_id", 10)
+    info(s"f16 recall@10 = $recall")
+    assert(recall >= 0.9, s"f16 recall@10 too low: $recall")
+  }
+
   test("TopKAgg equals the window-rank oracle, both directions") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select($"vec_id", $"label", ($"vec_id" % 97).cast("double").as("score"))
