@@ -48,6 +48,13 @@ object Bench {
       graft.ops.Similarity.semJoinIvfFor(spark, sfDir)
     }
 
+    // JIT warmup, untimed: the first timed entries otherwise absorb C2
+    // compilation of the Catalyst/codegen/Parquet stack (measured on this
+    // box: dd_simhash 10.9 s first-run vs 2.1 s warm at sf0.01). Two cheap
+    // representative plans touch the scan+agg and tokenize paths.
+    Seq("q1_agg", "ta_tokcount").foreach(n => SparkEntry.queries(n)(spark, sfDir).collect())
+    spark.catalog.clearCache()
+
     // relational + pipeline queries (collect forces the full plan).
     // Caches an op creates are dropped BETWEEN entries: round 2 let the
     // dedup shingle/signature caches stay resident through the whole

@@ -23,6 +23,13 @@ object SparkEntry {
     "q3_top_revenue" -> Relational.q3TopRevenue _,
     "q_window_topn" -> Relational.qWindowTopN _,
     "q_events_daily" -> Relational.qEventsDaily _,
+    // the same code path Structured Streaming runs with a watermark
+    // (StreamingWindowSpec proves stream ≡ batch), executed on the batch
+    // events table for the oracle
+    "q_events_window" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamingWindow
+        .eventStats(s.read.parquet(s"$d/events.parquet"))
+        .orderBy("win_start", "event_type")),
     // fulltext build stages (declarative)
     "ft_tf" -> Fulltext.tfTable _,
     "ft_df" -> Fulltext.dfTable _,
@@ -114,6 +121,7 @@ object SparkEntry {
     "q3_top_revenue" -> Relational.q3TopRevenueSql,
     "q_window_topn" -> Relational.qWindowTopNSql,
     "q_events_daily" -> Relational.qEventsDailySql,
+    "q_events_window" -> graft.streaming.StreamingWindow.eventStatsSql,
     "ft_tf" -> Fulltext.tfTableSql,
     "ft_df" -> Fulltext.dfTableSql,
     "ft_stats" -> Fulltext.corpusStatsSql,

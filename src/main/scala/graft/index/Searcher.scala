@@ -227,18 +227,12 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
           throw new IllegalStateException(
             s"index invariant violated: bucket $bucket has postings but no doclens row ($root)")
         else {
-          val dl = lensArr.head
-          val byTerm = postsArr.groupBy(_.term)
-          // decode each term once per bucket task; all queries share it
+          // term-at-a-time: decode each term once per bucket task AND
+          // traverse it once for the whole batch (see Searcher.taatBucket
+          // — bit-identical to the per-query WAND loop, EngineSpec-pinned)
           val cache = new java.util.HashMap[String, graft.codec.Postings]()
-          queriesB.value.iterator.flatMap { case (qid, terms) =>
-            val rows = terms.flatMap(byTerm.get).flatten
-            if (rows.isEmpty) Iterator.empty
-            else Searcher
-              .wandBucket(rows, dl, idfB.value, avgdlLocal, 1.0, kLocal,
-                exact = false, None, cache)
-              .map(h => (qid, h.docId, h.score))
-          }
+          Searcher.taatBucket(postsArr, lensArr.head, idfB.value,
+            avgdlLocal, kLocal, queriesB.value.toArray, cache)
         }
       }
       .toDF("query_id", "doc_id", "score")
@@ -258,6 +252,108 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
 }
 
 object Searcher {
+
+  /** Term-at-a-time batched scorer for one bucket: each decoded posting
+    * array is traversed ONCE for every query that contains the term,
+    * instead of once per query as the per-query WAND loop does. That cuts
+    * the dominant cost of large batches — re-reading shared hot-term
+    * posting arrays per query (the measured DRAM-bandwidth plateau in
+    * BASELINE.md's query-batch accounting) — to a single pass plus cheap
+    * accumulator updates that stay cache-resident.
+    *
+    * Bit-identity with the per-query WAND path (EngineSpec pins
+    * batch ≡ per-query ≡ oracle): terms are visited in globally sorted
+    * order, so each (query, doc) accumulator receives exactly the query's
+    * own sorted-term contributions in the same left-fold order as
+    * [[wandBucket]]'s fixed-cursor-order sum, from the identical
+    * `idf · Bm25.tfNorm` arithmetic; the same TopK total order
+    * (score desc, docId asc) then yields the same result set.
+    *
+    * Memory: a dense (chunk × bucketDocs) double matrix, chunked so one
+    * task never holds more than ~32 MB of accumulators no matter how
+    * many queries are in the batch; each chunk re-reads the decoded
+    * cache (already in memory), not the Parquet blocks.
+    */
+  def taatBucket(
+      rows: Array[PostingRow],
+      doclen: DocLenRow,
+      idfByTerm: Map[String, Double],
+      avgdl: Double,
+      k: Int,
+      queries: Array[(Int, Array[String])],
+      decodedCache: java.util.HashMap[String, graft.codec.Postings]): Iterator[(Int, Long, Double)] = {
+    val rowsSorted = rows.sortBy(_.term)
+    val dIds = doclen.docIds
+    val dLens = doclen.lens
+    val nb = dIds.length
+    // term → subscribing query positions (ascending, queries scanned in order)
+    val subs = mutable.HashMap.empty[String, mutable.ArrayBuffer[Int]]
+    var qi = 0
+    while (qi < queries.length) {
+      val ts = queries(qi)._2
+      var t = 0
+      while (t < ts.length) {
+        subs.getOrElseUpdate(ts(t), mutable.ArrayBuffer.empty) += qi
+        t += 1
+      }
+      qi += 1
+    }
+    val chunk = math.max(1,
+      math.min(queries.length, ((32L << 20) / (8L * math.max(nb, 1))).toInt))
+    val out = mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    var q0 = 0
+    while (q0 < queries.length) {
+      val q1 = math.min(queries.length, q0 + chunk)
+      val acc = Array.ofDim[Double](q1 - q0, nb)
+      var ri = 0
+      while (ri < rowsSorted.length) {
+        val r = rowsSorted(ri)
+        val subList = subs.getOrElse(r.term, null)
+        if (subList != null) {
+          val subArr = new Array[Int](subList.length)
+          var nSub = 0
+          var s = 0
+          while (s < subList.length) {
+            val q = subList(s)
+            if (q >= q0 && q < q1) { subArr(nSub) = q - q0; nSub += 1 }
+            s += 1
+          }
+          if (nSub > 0) {
+            val post = decodedCache.computeIfAbsent(r.term,
+              _ => PostingCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq))
+            val idf = idfByTerm(r.term)
+            val pd = post.docIds
+            val pt = post.tfs
+            var p = 0
+            while (p < pd.length) {
+              val di = java.util.Arrays.binarySearch(dIds, pd(p))
+              val w = idf * Bm25.tfNorm(pt(p), dLens(di), avgdl)
+              var j = 0
+              while (j < nSub) { acc(subArr(j))(di) += w; j += 1 }
+              p += 1
+            }
+          }
+        }
+        ri += 1
+      }
+      var q = q0
+      while (q < q1) {
+        val a = acc(q - q0)
+        val topk = new TopK(k)
+        var di = 0
+        while (di < nb) {
+          // BM25 contributions are strictly positive (idf > 0, tf ≥ 1),
+          // so 0.0 means "no query term matched this doc"
+          if (a(di) > 0.0) topk.offer(dIds(di), a(di))
+          di += 1
+        }
+        topk.result.foreach(h => out += ((queries(q)._1, h.docId, h.score)))
+        q += 1
+      }
+      q0 = q1
+    }
+    out.iterator
+  }
 
   /** Cursor over one term's postings within a bucket. Two backing modes
     * with identical visit semantics (so results are bit-identical):
