@@ -300,6 +300,31 @@ object Searcher {
     }
     val chunk = math.max(1,
       math.min(queries.length, ((32L << 20) / (8L * math.max(nb, 1))).toInt))
+    // per-term (bucket doc index, idf·tfNorm) arrays, computed ONCE per
+    // bucket task and reused by every chunk and every subscribing query
+    // — the binary search exploits that posting docIds and the bucket's
+    // doclen docIds are both ascending
+    val pre = new java.util.HashMap[String, (Array[Int], Array[Double])]()
+    def preFor(r: PostingRow): (Array[Int], Array[Double]) =
+      pre.computeIfAbsent(r.term, _ => {
+        val post = decodedCache.computeIfAbsent(r.term,
+          _ => PostingCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq))
+        val idf = idfByTerm(r.term)
+        val pd = post.docIds
+        val pt = post.tfs
+        val di = new Array[Int](pd.length)
+        val w = new Array[Double](pd.length)
+        var p = 0
+        var from = 0
+        while (p < pd.length) {
+          val d = java.util.Arrays.binarySearch(dIds, from, nb, pd(p))
+          di(p) = d
+          from = d + 1
+          w(p) = idf * Bm25.tfNorm(pt(p), dLens(d), avgdl)
+          p += 1
+        }
+        (di, w)
+      })
     val out = mutable.ArrayBuffer.empty[(Int, Long, Double)]
     var q0 = 0
     while (q0 < queries.length) {
@@ -319,18 +344,17 @@ object Searcher {
             s += 1
           }
           if (nSub > 0) {
-            val post = decodedCache.computeIfAbsent(r.term,
-              _ => PostingCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq))
-            val idf = idfByTerm(r.term)
-            val pd = post.docIds
-            val pt = post.tfs
-            var p = 0
-            while (p < pd.length) {
-              val di = java.util.Arrays.binarySearch(dIds, pd(p))
-              val w = idf * Bm25.tfNorm(pt(p), dLens(di), avgdl)
-              var j = 0
-              while (j < nSub) { acc(subArr(j))(di) += w; j += 1 }
-              p += 1
+            val (pdi, pw) = preFor(r)
+            // postings stream inner (ascending doc index → sequential
+            // writes into one accumulator row); swapping the loops does
+            // not reorder any (query, doc) fold — each term contributes
+            // once per doc, and terms stay in global sorted order
+            var j = 0
+            while (j < nSub) {
+              val row = acc(subArr(j))
+              var p = 0
+              while (p < pdi.length) { row(pdi(p)) += pw(p); p += 1 }
+              j += 1
             }
           }
         }
