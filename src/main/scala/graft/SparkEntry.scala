@@ -63,6 +63,8 @@ object SparkEntry {
     "sim_recall_b1" -> Similarity.recallB1 _,
     "sim_knn_f16" -> ((s: SparkSession, d: String) => Similarity.knnF16(s, d)),
     "sim_recall_f16" -> Similarity.recallF16 _,
+    "sim_knn_bf16" -> ((s: SparkSession, d: String) => Similarity.knnBf16(s, d)),
+    "sim_recall_bf16" -> Similarity.recallBf16 _,
     // the rest of the metric surface, driver-oracled
     "sim_knn_ip" -> ((s: SparkSession, d: String) => MetricQueries.knnIp(s, d)),
     "sim_knn_l2sq" -> ((s: SparkSession, d: String) => MetricQueries.knnL2sq(s, d)),
@@ -112,6 +114,8 @@ object SparkEntry {
     "ta_levenshtein_bounded" -> ((s: SparkSession, d: String) =>
       TextAnalysis.levenshteinBoundedPairs(s, d)),
     "ta_hamming_str" -> TextAnalysis.hammingStrPairs _,
+    // ranked string-metric search (top-k nearest strings by levenshtein)
+    "ta_string_knn" -> ((s: SparkSession, d: String) => TextAnalysis.stringKnn(s, d)),
     // composite training-data curation: lang filter ∧ dedup rep ∧ quality
     "ta_curate" -> ((s: SparkSession, d: String) => TextAnalysis.curate(s, d)),
   )
@@ -156,6 +160,8 @@ object SparkEntry {
     "sim_recall_b1" -> Similarity.recallB1Sql,
     "sim_knn_f16" -> Similarity.knnF16Sql(),
     "sim_recall_f16" -> Similarity.recallF16Sql,
+    "sim_knn_bf16" -> Similarity.knnBf16Sql(),
+    "sim_recall_bf16" -> Similarity.recallBf16Sql,
     "sim_knn_ip" -> MetricQueries.knnIpSql(),
     "sim_knn_l2sq" -> MetricQueries.knnL2sqSql(),
     "sim_pearson" -> MetricQueries.pearsonPairsSql,
@@ -179,6 +185,7 @@ object SparkEntry {
     "ta_levenshtein" -> TextAnalysis.levenshteinPairsSql,
     "ta_levenshtein_bounded" -> TextAnalysis.levenshteinBoundedPairsSql(),
     "ta_hamming_str" -> TextAnalysis.hammingStrPairsSql,
+    "ta_string_knn" -> TextAnalysis.stringKnnSql(),
     "ta_curate" -> TextAnalysis.curateSql(),
   )
 }

@@ -101,6 +101,45 @@ object Quantize {
       s"ELSE ($t - ($t - $xc)) END) + 0.0)"
   }
 
+  /** Google-brain bfloat16 rounding — the reference's bf16 dtype
+    * (`bf16_bits_t` /root/reference/include/usearch/index_plugins.hpp:91-92;
+    * recall/QPS table /root/reference/BENCHMARKS.md:46-49) — by the same
+    * pure-double recipe as [[f16]], with bf16's parameters:
+    *
+    *   - 8 significand bits (7 stored + hidden) → Veltkamp constant
+    *     C = 2⁴⁵+1 (53 − 45 = 8);
+    *   - f32's exponent range: normals down to 2⁻¹²⁶, max normal
+    *     (2 − 2⁻⁷)·2¹²⁷ = 255·2¹²⁰ (saturating clamp, exact in double);
+    *   - subnormal step 2⁻¹³³ via the offset trick with 1.5·2⁻⁸¹
+    *     (= 1.5·2^(−133+52), placing the sum where ulp = 2⁻¹³³).
+    *
+    * Same single-rounding-per-step discipline as f16, so the DuckDB twin
+    * is bit-identical; bf16 values are exact doubles, so downstream
+    * cosine arithmetic stays cross-engine exact. QuantizeSpec pins the
+    * arithmetic against an independent exponent-extraction converter.
+    */
+  def bf16(v: Column): Column = transform(v.cast("array<double>"), x => bf16Scalar(x))
+
+  /** Scalar bf16 rounding of one double column (see [[bf16]]). */
+  def bf16Scalar(x: Column): Column = {
+    val xc = greatest(least(x, lit(3.3895313892515355e38)), lit(-3.3895313892515355e38))
+    val sub = (abs(xc) + lit(6.203854594147708e-25)) - lit(6.203854594147708e-25) // 1.5·2⁻⁸¹
+    val t = xc * lit(35184372088833.0) // 2⁴⁵+1
+    (when(abs(xc) < lit(1.1754943508222875e-38), // 2⁻¹²⁶
+      when(xc < 0.0, -sub).otherwise(sub))
+      .otherwise(t - (t - xc))) + lit(0.0)
+  }
+
+  /** DuckDB twin of [[bf16]] — the same doubles in the same order. */
+  def bf16Sql(v: String): String = {
+    val xc = "greatest(least(x, 3.3895313892515355e38), -3.3895313892515355e38)"
+    val sub = s"((abs($xc) + 6.203854594147708e-25) - 6.203854594147708e-25)"
+    val t = s"($xc * 35184372088833.0)"
+    s"list_transform($v::DOUBLE[], x -> (CASE WHEN abs($xc) < 1.1754943508222875e-38 " +
+      s"THEN (CASE WHEN $xc < 0 THEN -$sub ELSE $sub END) " +
+      s"ELSE ($t - ($t - $xc)) END) + 0.0)"
+  }
+
   /** DuckDB twin of [[b1]]: identical packing via integer arithmetic —
     * bit sums accumulate in HUGEINT (bit 63 enters as Long.MinValue) and
     * cast back to BIGINT, so every word is bit-identical to Spark's.

@@ -32,6 +32,18 @@ import graft.query.Bm25
   */
 object IndexBuilder {
 
+  /** Upper bound on the docId-bucket WIDTH the auto geometry will pick.
+    * Bucket width — not bucket count — is what the per-task memory of the
+    * batched TAAT search scales with (one dense accumulator row is
+    * 8·bucketDocs bytes, Searcher.taatBucket): capping width at 2²⁰ docs
+    * keeps a row ≤ 8 MB at ANY corpus size, so past ~64·parallelism·2¹⁴
+    * docs the bucket COUNT grows instead of the width. Explicit
+    * `targetBuckets`/`fixedBucketSize` pins bypass the cap (the caller
+    * owns the geometry); taatBucket guards that case with a per-query
+    * WAND fallback.
+    */
+  final val MaxDefaultBucketWidth: Long = 1L << 20
+
   /** Layout under the index root (Iceberg-style: data + manifests;
     * hand-rolled — no Iceberg jar offline, SURVEY.md §7.0).
     */
@@ -126,12 +138,10 @@ object IndexBuilder {
             // ids come from docId/bucketSize, and generation ids can
             // start at an offset) — the pinned WIDTH is the identity
             (math.max(1, ((nDocs + fixedBucketSize - 1) / fixedBucketSize).toInt), fixedBucketSize)
-          else {
-            val b0 =
-              if (targetBuckets > 0) targetBuckets
-              else math.max(1, math.min(spark.sparkContext.defaultParallelism, (nDocs / 64L).toInt + 1))
+          else if (targetBuckets > 0) {
+            val b0 = targetBuckets
             (b0, math.max(1L, (nDocs + b0 - 1) / b0))
-          }
+          } else autoGeometry(nDocs, spark.sparkContext.defaultParallelism)
         Files.writeString(geomPath, s"buckets=$b\nbucketSize=$bs\n")
         (b, bs)
       }
@@ -230,6 +240,23 @@ object IndexBuilder {
     // lineage + metrics (Iceberg-style JSON metadata, driver-side)
     if (manifests.nonEmpty) Meta.appendManifest(root, manifests.toSeq)
     Meta.readStats(root)
+  }
+
+  /** Default (buckets, bucketSize) when the caller pins neither: bucket
+    * count tracks parallelism until the WIDTH would exceed
+    * [[MaxDefaultBucketWidth]], after which the count grows and the width
+    * stays bounded — so the TAAT accumulator row stays ≤ 8 MB at any
+    * corpus size (EngineSpec pins both regimes).
+    */
+  private[graft] def autoGeometry(nDocs: Long, parallelism: Int): (Int, Long) = {
+    // min computed in Long FIRST: (nDocs/64).toInt overflows past ~10¹¹
+    // docs, and the old formula silently collapsed to one bucket there
+    val b0 = math.max(1, math.min(parallelism.toLong, nDocs / 64L + 1L).toInt)
+    val bs0 = math.max(1L, (nDocs + b0 - 1) / b0)
+    if (bs0 <= MaxDefaultBucketWidth) (b0, bs0)
+    else
+      (((nDocs + MaxDefaultBucketWidth - 1) / MaxDefaultBucketWidth).toInt,
+        MaxDefaultBucketWidth)
   }
 
   /** Derive the dictionary from the segment rows at `layout` and write it

@@ -32,17 +32,34 @@ import graft.ops.Similarity
   */
 object KMeans {
 
-  final case class Result(centroids: DataFrame, assignments: DataFrame, inertia: Double)
+  /** `iterations` = centroid updates actually applied — with an inertia
+    * early exit this can be fewer than the requested maximum, and
+    * `fit(maxIter, tol)` ≡ `fit(iterations, tol = 0)` exactly
+    * (KMeansSpec pins it).
+    */
+  final case class Result(
+      centroids: DataFrame, assignments: DataFrame, inertia: Double, iterations: Int)
 
   final val DefaultRangeSize: Long = 1L << 20
 
-  /** @param points DataFrame(id: Long, vec: Array[Float|Double]) */
+  /** @param points DataFrame(id: Long, vec: Array[Float|Double])
+    * @param inertiaRelTol deterministic early exit — the reference's
+    *   `kmeans` stops on max_iterations OR an inertia threshold
+    *   (/root/reference/include/usearch/index_plugins.hpp:2166-2410,
+    *   config at :2179-2190); here: stop before an update when the
+    *   previous update improved inertia by ≤ `inertiaRelTol · previous`.
+    *   0.0 (default) disables the check and its extra per-iteration
+    *   aggregation job. Driver-side double comparisons only → the
+    *   stopping iteration is a pure function of the data, so the
+    *   unrolled-CTE oracle stays valid via the reported iteration count.
+    */
   def fit(
       spark: SparkSession,
       points: DataFrame,
       k: Int,
       iterations: Int,
-      rangeSize: Long = DefaultRangeSize): Result = {
+      rangeSize: Long = DefaultRangeSize,
+      inertiaRelTol: Double = 0.0): Result = {
     val pts = points
       .select(col("id"), col("vec").cast("array<double>").as("vec"))
       .cache()
@@ -82,9 +99,23 @@ object KMeans {
       .select(col("id"), col("m.cid").as("cid"), col("vec"), col("m.dist").as("dist"))
 
     var it = 0
-    while (it < iterations) {
+    var prevInertia = Double.NaN
+    var stop = false
+    while (it < iterations && !stop) {
+      val assigned0 = assign(centroids)
+      val assigned = if (inertiaRelTol > 0.0) assigned0.cache() else assigned0
+      if (inertiaRelTol > 0.0) {
+        // inertia of the CURRENT centroids' assignment: if the last
+        // update bought less than the tolerance, skip further updates
+        val inertia = assigned.agg(sum(col("dist"))).head().getDouble(0)
+        if (!java.lang.Double.isNaN(prevInertia) &&
+            prevInertia - inertia <= inertiaRelTol * prevInertia) stop = true
+        prevInertia = inertia
+      }
+      if (stop) {
+        assigned.unpersist()
+      } else {
       it += 1
-      val assigned = assign(centroids)
       // two-level deterministic mean (see scaladoc): segment sums in
       // value order, then segment order — all rows bounded
       val updated = assigned
@@ -112,6 +143,8 @@ object KMeans {
       next.count()
       centroids.unpersist()
       centroids = next
+      if (inertiaRelTol > 0.0) assigned.unpersist()
+      }
     }
 
     val finalAssign = assign(centroids).select(col("id"), col("cid"), col("dist")).cache()
@@ -119,6 +152,6 @@ object KMeans {
     // finalAssign is materialized by the inertia pass — the input cache
     // (the big one: every vector) can go; callers hold only the results
     pts.unpersist()
-    Result(centroids, finalAssign, inertia)
+    Result(centroids, finalAssign, inertia, it)
   }
 }

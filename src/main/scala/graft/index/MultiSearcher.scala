@@ -52,4 +52,21 @@ final class MultiSearcher(spark: SparkSession, roots: Seq[String]) {
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
   }
+
+  /** Batched search across all generations — the TAAT batch path with
+    * injected global stats per shard, so a freshly-streamed,
+    * not-yet-compacted table gets the same decode-once batched plan as a
+    * compacted index. Generation doc-id spaces are disjoint, so the union
+    * of per-bucket partials merges with ONE global bounded top-k
+    * aggregate (Searcher.finishMany) into exactly the result a
+    * single-index batch would give (MergeSpec pins multi-gen batch ≡
+    * single-index batch).
+    */
+  def searchMany(queries: Seq[(Int, String)], k: Int): DataFrame = {
+    val allTerms = queries
+      .flatMap { case (_, q) => Tokenizer.tokenize(q) }.distinct.sorted
+    val g = globalStatsFor(allTerms)
+    Searcher.finishMany(
+      searchers.map(_.searchManyBuckets(queries, k, Some(g))).reduce(_ union _), k)
+  }
 }

@@ -106,7 +106,8 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
       k: Int,
       exact: Boolean = false,
       allow: Option[Long => Boolean] = None,
-      globalStats: Option[GlobalStats] = None): DataFrame = {
+      globalStats: Option[GlobalStats] = None,
+      counters: Option[SearchCounters] = None): DataFrame = {
     val qTerms = Tokenizer.tokenize(query).distinct.sorted
     // ONE pruned dictionary read plans the whole query: dfs (scoring),
     // term existence, and the bucket partitions to touch
@@ -149,6 +150,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     val exactLocal = exact
     val avgdlLocal = g.avgdl
     val ubScaleLocal = ubScale
+    val countersLocal = counters.orNull
 
     val perBucket = postings
       .groupByKey(_.bucket)
@@ -166,7 +168,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
           val dl = lensArr.head
           Searcher.wandBucket(
             postsArr, dl, idfB.value, avgdlLocal, ubScaleLocal,
-            kLocal, exactLocal, allowB.value)
+            kLocal, exactLocal, allowB.value, counters = countersLocal)
         }
       }
 
@@ -187,18 +189,45 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     * query. Returns (query_id, doc_id, score) ordered within each query
     * by (score desc, doc_id asc), exactly what per-query [[search]] gives.
     */
-  def searchMany(queries: Seq[(Int, String)], k: Int): DataFrame = {
+  def searchMany(
+      queries: Seq[(Int, String)],
+      k: Int,
+      globalStats: Option[GlobalStats] = None,
+      counters: Option[SearchCounters] = None,
+      taatBudgetBytes: Long = Searcher.DefaultTaatBudgetBytes): DataFrame =
+    Searcher.finishMany(
+      searchManyBuckets(queries, k, globalStats, counters, taatBudgetBytes), k)
+
+  /** Per-bucket partial results of a batched search: (query_id, doc_id,
+    * score), each bucket's top-k per query, NOT yet globally merged.
+    * Exposed so [[MultiSearcher.searchMany]] can union the partials of
+    * several generations (each scored with injected global stats) and run
+    * ONE global merge — the batched scatter-gather.
+    */
+  private[index] def searchManyBuckets(
+      queries: Seq[(Int, String)],
+      k: Int,
+      globalStats: Option[GlobalStats] = None,
+      counters: Option[SearchCounters] = None,
+      taatBudgetBytes: Long = Searcher.DefaultTaatBudgetBytes): DataFrame = {
     val qTerms: Seq[(Int, Array[String])] =
       queries.map { case (id, q) => (id, Tokenizer.tokenize(q).distinct.sorted) }
     val allTerms = qTerms.flatMap(_._2).distinct.sorted
     if (allTerms.isEmpty)
       return spark.emptyDataset[(Int, Long, Double)].toDF("query_id", "doc_id", "score")
     val localRows = dictRows(allTerms)
-    val dfByTerm = localRows.map { case (t, d) => t -> d.df }
-    val n = stats.nDocs
-    val idfByTerm = dfByTerm.map { case (t, d) => t -> Bm25.idf(d, n) }
+    val g = globalStats.getOrElse(
+      GlobalStats(stats.nDocs, stats.avgdl, localRows.map { case (t, d) => t -> d.df }))
+    val idfByTerm = allTerms
+      .filter(t => g.dfByTerm.getOrElse(t, 0L) > 0L)
+      .map(t => t -> Bm25.idf(g.dfByTerm(t), g.nDocs)).toMap
+    // a query term contributes in THIS shard iff it is globally live AND
+    // locally present (a globally-known term with no local postings adds
+    // exactly nothing here — other generations score it)
     val livePerQuery: Seq[(Int, Array[String])] = qTerms
-      .map { case (id, ts) => (id, ts.filter(t => dfByTerm.getOrElse(t, 0L) > 0L)) }
+      .map { case (id, ts) =>
+        (id, ts.filter(t => idfByTerm.contains(t) && localRows.contains(t)))
+      }
       .filter(_._2.nonEmpty)
     if (livePerQuery.isEmpty)
       return spark.emptyDataset[(Int, Long, Double)].toDF("query_id", "doc_id", "score")
@@ -215,9 +244,14 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     val idfB = spark.sparkContext.broadcast(idfByTerm)
     val queriesB = spark.sparkContext.broadcast(livePerQuery)
     val kLocal = k
-    val avgdlLocal = stats.avgdl
+    val avgdlLocal = g.avgdl
+    // stored block-max tf-norms came from THIS shard's avgdl; scale UBs
+    // for the WAND fallback exactly as the single-query path does
+    val ubScaleLocal = math.max(1.0, g.avgdl / stats.avgdl)
+    val budgetLocal = taatBudgetBytes
+    val countersLocal = counters.orNull
 
-    val perBucket = postings
+    postings
       .groupByKey(_.bucket)
       .cogroup(doclens.groupByKey(_.bucket)) { (bucket, posts, lens) =>
         val postsArr = posts.toArray
@@ -232,15 +266,35 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
           // — bit-identical to the per-query WAND loop, EngineSpec-pinned)
           val cache = new java.util.HashMap[String, graft.codec.Postings]()
           Searcher.taatBucket(postsArr, lensArr.head, idfB.value,
-            avgdlLocal, kLocal, queriesB.value.toArray, cache)
+            avgdlLocal, kLocal, queriesB.value.toArray, cache,
+            budgetLocal, ubScaleLocal, countersLocal)
         }
       }
       .toDF("query_id", "doc_id", "score")
+  }
+}
 
-    // global per-query top-k via the bounded aggregate (same total order
-    // as a row_number window — score desc, doc_id asc — but it PARTIAL-
-    // aggregates map-side, so the merge shuffle moves one bounded buffer
-    // per (query, partition) and needs no per-partition sort)
+object Searcher {
+
+  /** Memory budget for one task's dense TAAT accumulator chunk. One
+    * accumulator row costs 8·bucketDocs bytes; the default index geometry
+    * bounds bucket width at 2²⁰ docs (IndexBuilder.MaxDefaultBucketWidth)
+    * → ≤ 8 MB/row, so the budget always fits ≥ 4 query rows. An index
+    * with a WIDER pinned bucket (explicit targetBuckets/fixedBucketSize)
+    * can exceed the budget even at one row — [[taatBucket]] then falls
+    * back to the per-query cursor WAND, which is bit-identical and O(k)
+    * in memory.
+    */
+  final val DefaultTaatBudgetBytes: Long = 32L << 20
+
+  /** Global per-query top-k merge of per-bucket partial results via the
+    * bounded aggregate (same total order as a row_number window — score
+    * desc, doc_id asc — but it PARTIAL-aggregates map-side, so the merge
+    * shuffle moves one bounded buffer per (query, partition) and needs no
+    * per-partition sort). Shared by single-index and multi-generation
+    * batched search.
+    */
+  private[index] def finishMany(perBucket: DataFrame, k: Int): DataFrame =
     perBucket
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKAgg.greatest(col("score"), col("doc_id"), k).as("hits"))
@@ -248,10 +302,6 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
       .select(col("query_id"), col("h.id").as("doc_id"), col("h.score").as("score"),
         (col("rnk0") + 1).as("rank"))
       .orderBy(col("query_id"), col("rank"))
-  }
-}
-
-object Searcher {
 
   /** Term-at-a-time batched scorer for one bucket: each decoded posting
     * array is traversed ONCE for every query that contains the term,
@@ -270,9 +320,16 @@ object Searcher {
     * (score desc, docId asc) then yields the same result set.
     *
     * Memory: a dense (chunk × bucketDocs) double matrix, chunked so one
-    * task never holds more than ~32 MB of accumulators no matter how
-    * many queries are in the batch; each chunk re-reads the decoded
-    * cache (already in memory), not the Parquet blocks.
+    * task never holds more than `budgetBytes` (default 32 MB) of
+    * accumulators no matter how many queries are in the batch; each chunk
+    * re-reads the decoded cache (already in memory), not the Parquet
+    * blocks. When even ONE accumulator row (8·bucketDocs bytes) exceeds
+    * the budget — possible only for indexes with an explicitly pinned
+    * oversized bucket width, since the default geometry bounds buckets at
+    * 2²⁰ docs — the whole batch falls back to the per-query cursor WAND,
+    * which EngineSpec pins as bit-identical and whose memory is O(k)
+    * regardless of bucket width (the decode cache still amortizes the
+    * block decoding across the query set).
     */
   def taatBucket(
       rows: Array[PostingRow],
@@ -281,25 +338,56 @@ object Searcher {
       avgdl: Double,
       k: Int,
       queries: Array[(Int, Array[String])],
-      decodedCache: java.util.HashMap[String, graft.codec.Postings]): Iterator[(Int, Long, Double)] = {
-    val rowsSorted = rows.sortBy(_.term)
+      decodedCache: java.util.HashMap[String, graft.codec.Postings],
+      budgetBytes: Long = DefaultTaatBudgetBytes,
+      ubScale: Double = 1.0,
+      counters: SearchCounters = null): Iterator[(Int, Long, Double)] = {
     val dIds = doclen.docIds
     val dLens = doclen.lens
     val nb = dIds.length
-    // term → subscribing query positions (ascending, queries scanned in order)
-    val subs = mutable.HashMap.empty[String, mutable.ArrayBuffer[Int]]
-    var qi = 0
-    while (qi < queries.length) {
-      val ts = queries(qi)._2
-      var t = 0
-      while (t < ts.length) {
-        subs.getOrElseUpdate(ts(t), mutable.ArrayBuffer.empty) += qi
-        t += 1
+
+    if (8L * math.max(nb, 1) > budgetBytes) {
+      // dense accumulation cannot fit one row — per-query WAND fallback
+      // (bit-identical results; shared decode cache keeps the batch's
+      // decode-once property)
+      val byTerm = rows.iterator.map(r => r.term -> r).toMap
+      return queries.iterator.flatMap { case (qid, ts) =>
+        val qRows = ts.flatMap(byTerm.get)
+        if (qRows.isEmpty) Iterator.empty
+        else wandBucket(qRows, doclen, idfByTerm, avgdl, ubScale, k,
+          exact = false, allow = None, decodedCache, counters)
+          .map(h => (qid, h.docId, h.score))
       }
-      qi += 1
+    }
+
+    val rowsSorted = rows.sortBy(_.term)
+    // term → subscribing query positions (ascending, queries scanned in
+    // order), materialized once as arrays — the chunk loop only filters
+    var maxSub = 0
+    val subs: java.util.HashMap[String, Array[Int]] = {
+      val b = mutable.HashMap.empty[String, mutable.ArrayBuffer[Int]]
+      var qi = 0
+      while (qi < queries.length) {
+        val ts = queries(qi)._2
+        var t = 0
+        while (t < ts.length) {
+          b.getOrElseUpdate(ts(t), mutable.ArrayBuffer.empty) += qi
+          t += 1
+        }
+        qi += 1
+      }
+      val m = new java.util.HashMap[String, Array[Int]]()
+      b.foreach { case (t, l) =>
+        if (l.length > maxSub) maxSub = l.length
+        m.put(t, l.toArray)
+      }
+      m
     }
     val chunk = math.max(1,
-      math.min(queries.length, ((32L << 20) / (8L * math.max(nb, 1))).toInt))
+      math.min(queries.length, (budgetBytes / (8L * math.max(nb, 1))).toInt))
+    // one scratch buffer for the per-chunk subscriber filter, reused
+    // across every (term × chunk) iteration — no hot-loop allocation
+    val scratch = new Array[Int](maxSub)
     // per-term (bucket doc index, idf·tfNorm) arrays, computed ONCE per
     // bucket task and reused by every chunk and every subscribing query
     // — the binary search exploits that posting docIds and the bucket's
@@ -318,6 +406,10 @@ object Searcher {
         var from = 0
         while (p < pd.length) {
           val d = java.util.Arrays.binarySearch(dIds, from, nb, pd(p))
+          if (d < 0)
+            throw new IllegalStateException(
+              s"index invariant violated: term '${r.term}' bucket ${r.bucket} " +
+                s"posting docId ${pd(p)} has no doclens entry")
           di(p) = d
           from = d + 1
           w(p) = idf * Bm25.tfNorm(pt(p), dLens(d), avgdl)
@@ -325,6 +417,8 @@ object Searcher {
         }
         (di, w)
       })
+    var visited = 0L
+    var scored = 0L
     val out = mutable.ArrayBuffer.empty[(Int, Long, Double)]
     var q0 = 0
     while (q0 < queries.length) {
@@ -333,14 +427,13 @@ object Searcher {
       var ri = 0
       while (ri < rowsSorted.length) {
         val r = rowsSorted(ri)
-        val subList = subs.getOrElse(r.term, null)
+        val subList = subs.get(r.term)
         if (subList != null) {
-          val subArr = new Array[Int](subList.length)
           var nSub = 0
           var s = 0
           while (s < subList.length) {
             val q = subList(s)
-            if (q >= q0 && q < q1) { subArr(nSub) = q - q0; nSub += 1 }
+            if (q >= q0 && q < q1) { scratch(nSub) = q - q0; nSub += 1 }
             s += 1
           }
           if (nSub > 0) {
@@ -351,11 +444,12 @@ object Searcher {
             // once per doc, and terms stay in global sorted order
             var j = 0
             while (j < nSub) {
-              val row = acc(subArr(j))
+              val row = acc(scratch(j))
               var p = 0
               while (p < pdi.length) { row(pdi(p)) += pw(p); p += 1 }
               j += 1
             }
+            visited += pdi.length.toLong * nSub
           }
         }
         ri += 1
@@ -368,13 +462,17 @@ object Searcher {
         while (di < nb) {
           // BM25 contributions are strictly positive (idf > 0, tf ≥ 1),
           // so 0.0 means "no query term matched this doc"
-          if (a(di) > 0.0) topk.offer(dIds(di), a(di))
+          if (a(di) > 0.0) { topk.offer(dIds(di), a(di)); scored += 1 }
           di += 1
         }
         topk.result.foreach(h => out += ((queries(q)._1, h.docId, h.score)))
         q += 1
       }
       q0 = q1
+    }
+    if (counters != null) {
+      counters.visitedDocs.add(visited)
+      counters.scoredDocs.add(scored)
     }
     out.iterator
   }
@@ -488,7 +586,8 @@ object Searcher {
       k: Int,
       exact: Boolean,
       allow: Option[Long => Boolean],
-      decodedCache: java.util.HashMap[String, graft.codec.Postings] = null): Iterator[Hit] = {
+      decodedCache: java.util.HashMap[String, graft.codec.Postings] = null,
+      counters: SearchCounters = null): Iterator[Hit] = {
     // cursors in fixed sorted-term order → deterministic accumulation
     val byTerm = rows.sortBy(_.term)
     val cursors = byTerm.map { r =>
@@ -510,6 +609,10 @@ object Searcher {
 
     val topk = new TopK(k)
     val live = mutable.ArrayBuffer(cursors: _*)
+    // per-task counters flushed to the accumulators once at the end —
+    // zero overhead in the hot loop beyond two register increments
+    var visited = 0L
+    var scored = 0L
 
     while (live.nonEmpty) {
       live.filterInPlace(!_.exhausted)
@@ -530,6 +633,7 @@ object Searcher {
         } else {
           val pivotDoc = sorted(pivot).curDoc
           if (sorted.head.curDoc == pivotDoc) {
+            visited += 1
             // block-max refinement (BMW): the sum of current-BLOCK maxima
             // over the cursors on pivotDoc is a tighter bound than the
             // term UBs that chose the pivot; skip scoring when it is
@@ -545,6 +649,7 @@ object Searcher {
               }
             }
             if ((exact || blockBound >= theta) && allow.forall(_(pivotDoc))) {
+              scored += 1
               val dl = lenOf(pivotDoc)
               var s = 0.0
               // fixed term order: `cursors` (sorted by term), not `sorted`
@@ -569,6 +674,10 @@ object Searcher {
           }
         }
       }
+    }
+    if (counters != null) {
+      counters.visitedDocs.add(visited)
+      counters.scoredDocs.add(scored)
     }
     topk.result
   }

@@ -84,3 +84,30 @@ final case class Hit(docId: Long, score: Double)
   * equal a single-index ranking.
   */
 final case class GlobalStats(nDocs: Long, avgdl: Double, dfByTerm: Map[String, Long])
+
+/** Per-query execution counters — the `search_result_t.visited_members` /
+  * `computed_distances` analog
+  * (/root/reference/include/usearch/index.hpp:2566-2593, accumulated from
+  * per-context counters at :3070-3073), backed by Spark accumulators so
+  * the counts aggregate across every bucket task of a distributed search:
+  *
+  *   - `visitedDocs`: candidate documents examined (WAND pivot docs, or
+  *     posting entries streamed by the term-at-a-time batch path);
+  *   - `scoredDocs`: documents fully scored (the BM25 computation count —
+  *     what WAND/BMW pruning actually saved vs `exact = true`).
+  *
+  * Create one per search (`SearchCounters(spark)`), pass it to
+  * `Searcher.search`/`searchMany`, read `.visitedDocs.value` after the
+  * action. Task retries can overcount (standard accumulator semantics) —
+  * these are observability counters, not results.
+  */
+final class SearchCounters private (
+    val visitedDocs: org.apache.spark.util.LongAccumulator,
+    val scoredDocs: org.apache.spark.util.LongAccumulator) extends Serializable
+
+object SearchCounters {
+  def apply(spark: org.apache.spark.sql.SparkSession): SearchCounters =
+    new SearchCounters(
+      spark.sparkContext.longAccumulator("graft.search.visited_docs"),
+      spark.sparkContext.longAccumulator("graft.search.scored_docs"))
+}

@@ -206,6 +206,49 @@ object Similarity {
        |SELECT 10 AS k, CAST(count(*) * 1000 AS BIGINT) AS recall_bp
        |FROM h16 JOIN ex USING (vec_id)""".stripMargin
 
+  /** bf16 brain-float exact top-k — the reference's bf16 dtype
+    * (/root/reference/BENCHMARKS.md:46-49; `bf16_bits_t`
+    * index_plugins.hpp:91-92). Same construction as [[knnF16]] with
+    * [[graft.functions.Quantize.bf16]]'s 8-significand-bit rounding —
+    * bf16 values are exact doubles, so the quantized cosine stays
+    * cross-engine exact.
+    */
+  def knnBf16(spark: SparkSession, dir: String, k: Int = 10,
+      queryVecId: Long = 0L): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), graft.functions.Quantize.bf16(col("embedding")).as("bv"))
+    val q = broadcast(e.where(col("vec_id") === queryVecId).select(col("bv").as("bq")))
+    e.crossJoin(q)
+      .select(col("vec_id"), cosine(col("bv"), col("bq")).as("cos_raw"))
+      .orderBy(desc("cos_raw"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
+  def knnBf16Sql(k: Int = 10, queryVecId: Long = 0L): String =
+    s"""WITH qe AS (SELECT vec_id, ${graft.functions.Quantize.bf16Sql("embedding")} AS bv FROM embeddings),
+       |q AS (SELECT bv AS bq FROM qe WHERE vec_id = $queryVecId)
+       |SELECT vec_id, round(${cosineSql("bv", "bq")}, 6) AS cos_sim
+       |FROM qe, q ORDER BY ${cosineSql("bv", "bq")} DESC, vec_id LIMIT $k""".stripMargin
+
+  /** recall@10 of the bf16 ranking vs the f64 exact ranking, basis points
+    * (the bf16 row of the reference's per-dtype table — 8 significand
+    * bits sit between f16's 11 and b1's 1, and so does the recall).
+    */
+  def recallBf16(spark: SparkSession, dir: String): DataFrame =
+    graft.eval.Eval.recallBp(spark,
+      knnBf16(spark, dir), knnExact(spark, dir), "vec_id", 10)
+
+  def recallBf16Sql: String =
+    s"""WITH qe AS (SELECT vec_id, ${graft.functions.Quantize.bf16Sql("embedding")} AS bv FROM embeddings),
+       |q AS (SELECT bv AS bq FROM qe WHERE vec_id = 0),
+       |h AS (SELECT vec_id FROM qe, q ORDER BY ${cosineSql("bv", "bq")} DESC, vec_id LIMIT 10),
+       |qx AS (SELECT embedding AS xq FROM embeddings WHERE vec_id = 0),
+       |ex AS (SELECT vec_id FROM embeddings, qx
+       |       ORDER BY ${cosineSql("embedding", "xq")} DESC, vec_id LIMIT 10)
+       |SELECT 10 AS k, CAST(count(*) * 1000 AS BIGINT) AS recall_bp
+       |FROM h JOIN ex USING (vec_id)""".stripMargin
+
   /** Batched multi-query exact kNN — the embedding-side `searchMany`
     * (the reference's `exact_search_t` scores MANY queries in one pass,
     * /root/reference/include/usearch/index_plugins.hpp:2071-2164): one

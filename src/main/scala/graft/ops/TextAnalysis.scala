@@ -168,6 +168,35 @@ object TextAnalysis {
       |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
       |WHERE a.doc_id < 50 ORDER BY left_id""".stripMargin
 
+  /** Ranked string-metric search: top-k nearest strings to a query under
+    * Levenshtein edit distance (asc, doc_id asc) — the reference indexes
+    * strings under Levenshtein and answers top-k nearest-string queries
+    * (/root/reference/cpp/test.cpp:982-1060; SQL surface
+    * /root/reference/sqlite/lib.cpp:209-267). The query string is doc 0's
+    * `source` tag, resolved by the same broadcast join on both engines.
+    * Catalyst plans orderBy+limit as TakeOrderedAndProject (per-partition
+    * partial top-k + one bounded merge — the same distributed shape as
+    * every other kNN here), and at 100 TB the O(len²) per-row distance
+    * stays embarrassingly parallel over the scan.
+    */
+  def stringKnn(spark: SparkSession, dir: String, k: Int = 10,
+      queryDocId: Long = 0L): DataFrame = {
+    val d = docs(spark, dir)
+    val q = broadcast(d.where(col("doc_id") === queryDocId)
+      .select(col("source").as("qs")))
+    d.crossJoin(q)
+      .select(col("doc_id"),
+        graft.functions.Distances.levenshteinDistance(col("source"), col("qs")).as("lev"))
+      .orderBy(asc("lev"), asc("doc_id"))
+      .limit(k)
+  }
+
+  def stringKnnSql(k: Int = 10, queryDocId: Long = 0L): String =
+    s"""WITH q AS (SELECT source AS qs FROM documents WHERE doc_id = $queryDocId)
+       |SELECT doc_id, levenshtein(source, qs) AS lev
+       |FROM documents, q
+       |ORDER BY lev, doc_id LIMIT $k""".stripMargin
+
   /** Document fingerprint: md5 over the normalized token stream — the
     * canonical-content identity used for dedup/lineage (whitespace/punct
     * insensitive, unlike the raw-content sha256 integrity column).

@@ -111,6 +111,51 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("taatBucket honors the memory budget: chunked and WAND-fallback paths equal the default") {
+    // 300 docs / 5 buckets → 60 docs/bucket → one accumulator row = 480
+    // bytes. A 960-byte budget forces chunk = 2 (exercises the chunk
+    // boundary the 32 MB default never hits at test scale); a 100-byte
+    // budget cannot fit ONE row and must take the per-query WAND fallback.
+    val queries = CorpusGen.querySet(15)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long, Double)] =
+      df.select("query_id", "doc_id", "score").as[(Int, Long, Double)].collect().toSeq
+    val default = rows(searcher5.searchMany(queries, 10))
+    val chunked = rows(searcher5.searchMany(queries, 10, taatBudgetBytes = 960L))
+    val fallback = rows(searcher5.searchMany(queries, 10, taatBudgetBytes = 100L))
+    assert(chunked == default, "chunked TAAT diverged from the default path")
+    assert(fallback == default, "WAND fallback diverged from the dense TAAT path")
+  }
+
+  test("per-query counters: pruned search visits and scores fewer docs than exact") {
+    // the search_result_t.visited_members / computed_distances analog
+    // (/root/reference/include/usearch/index.hpp:2566-2593)
+    val q = "def id0 id1 id2" // hot corpus terms → many candidates, small k
+    val cExact = graft.index.SearchCounters(spark)
+    val exact = hits(searcher5.search(q, 3, exact = true, counters = Some(cExact)))
+    val cPruned = graft.index.SearchCounters(spark)
+    val pruned = hits(searcher5.search(q, 3, counters = Some(cPruned)))
+    assert(pruned.toSeq == exact.toSeq) // identical results, less work:
+    assert(cExact.scoredDocs.value > 0L)
+    assert(cPruned.scoredDocs.value < cExact.scoredDocs.value,
+      s"pruned scored ${cPruned.scoredDocs.value} !< exact ${cExact.scoredDocs.value}")
+    assert(cPruned.visitedDocs.value <= cExact.visitedDocs.value)
+  }
+
+  test("auto geometry bounds bucket WIDTH, not count, past the width cap") {
+    val cap = IndexBuilder.MaxDefaultBucketWidth
+    // small corpora: unchanged parallelism-driven geometry
+    assert(IndexBuilder.autoGeometry(300L, 32) == ((5, 60L)))
+    assert(IndexBuilder.autoGeometry(1000000L, 32) == ((32, 31250L)))
+    // at 10⁹ docs the old formula gave 32 buckets of ~31M docs (a 250 MB
+    // accumulator row); now the width pins at 2²⁰ and the count grows
+    val (b1, w1) = IndexBuilder.autoGeometry(1000000000L, 32)
+    assert(w1 == cap && b1 == ((1000000000L + cap - 1) / cap).toInt)
+    // 10¹² docs: width still capped, count still exact (no Int overflow)
+    val (b2, w2) = IndexBuilder.autoGeometry(1000000000000L, 32)
+    assert(w2 == cap && b2 == ((1000000000000L + cap - 1) / cap).toInt)
+    assert(8L * w2 <= graft.index.Searcher.DefaultTaatBudgetBytes)
+  }
+
   test("absent-term query returns empty; empty query returns empty") {
     assert(searcher5.search("zzznotaterm qqqmissing", 10).count() == 0L)
     assert(searcher5.search("", 10).count() == 0L)

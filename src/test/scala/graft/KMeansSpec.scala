@@ -72,4 +72,23 @@ class KMeansSpec extends SparkSpec {
     val i3 = KMeans.fit(spark, pts, k = 4, iterations = 3).inertia
     assert(i3 <= i1 + 1e-9)
   }
+
+  test("inertia early exit stops deterministically and matches the fixed-iteration run") {
+    val pts = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+    // a coarse tolerance must stop before the generous iteration budget
+    val early = KMeans.fit(spark, pts, k = 4, iterations = 20, inertiaRelTol = 0.02)
+    assert(early.iterations < 20,
+      s"expected an early exit, ran all ${early.iterations} iterations")
+    // the early-exit result IS the fixed-iteration result at the count it
+    // reports — the exit only decides WHEN to stop, never the arithmetic
+    val fixed = KMeans.fit(spark, pts, k = 4, iterations = early.iterations)
+    assert(fixed.iterations == early.iterations)
+    assert(early.inertia == fixed.inertia)
+    val a1 = early.assignments.select($"id", $"cid").as[(Long, Long)].collect().toMap
+    val a2 = fixed.assignments.select($"id", $"cid").as[(Long, Long)].collect().toMap
+    assert(a1 == a2)
+    // disabled tolerance (default) always runs the full budget
+    assert(KMeans.fit(spark, pts, k = 4, iterations = 2).iterations == 2)
+  }
 }

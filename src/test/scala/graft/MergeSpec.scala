@@ -53,6 +53,17 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("multi-generation batched searchMany equals single-index batched searchMany") {
+    // the TAAT batch path across generations: each shard scores with the
+    // injected global stats, partials union, ONE global bounded merge —
+    // so streamed, uncompacted tables get batched search too
+    val single = new Searcher(spark, fullRoot)
+    val multi = new MultiSearcher(spark, Seq(genA, genB))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long, Double)] =
+      df.select("query_id", "doc_id", "score").as[(Int, Long, Double)].collect().toSeq
+    assert(rows(multi.searchMany(queries, 10)) == rows(single.searchMany(queries, 10)))
+  }
+
   test("LSM merge of two generations equals a fresh full build") {
     val out = tmp("merged")
     val mergedStats = SegmentMerger.merge(spark, Seq(genA, genB), out, targetBuckets = 4)

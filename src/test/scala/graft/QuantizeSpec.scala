@@ -118,6 +118,61 @@ class QuantizeSpec extends SparkSpec {
         s"f16($x): got ${got(x)}, ref ${refF16(x)}")
   }
 
+  /** Independent bf16 rounding oracle for [[Quantize.bf16]] — same
+    * construction as [[refF16]] with bf16's parameters (8 significand
+    * bits, f32 exponent range, subnormal step 2⁻¹³³).
+    */
+  private def refBf16(d: Double): Double = {
+    val m = 3.3895313892515355e38 // (2 − 2⁻⁷)·2¹²⁷
+    val c = math.max(-m, math.min(m, d))
+    if (c == 0.0) return 0.0
+    val step =
+      if (math.abs(c) < 1.1754943508222875e-38) math.pow(2.0, -133) // bf16 subnormal step
+      else math.pow(2.0, math.getExponent(c) - 7) // 8-bit significand
+    math.rint(c / step) * step + 0.0
+  }
+
+  test("bf16 quantization: Veltkamp/offset arithmetic == bit-level rounding") {
+    val maxN = 3.3895313892515355e38
+    val fixedPoints = Seq(0.0, 0.5, 1.0, -0.25, maxN, -maxN,
+      math.pow(2, -133), -math.pow(2, -133), math.pow(2, -126), 1.0 + 1.0 / 128)
+    // ties: 1 + 2⁻⁸ is halfway between 1 and 1+2⁻⁷ → even → 1;
+    // 1 + 3·2⁻⁸ is halfway between 1+2⁻⁷ and 1+2⁻⁶ → even → 1+2⁻⁶
+    val ties = Seq(1.0 + 1.0 / 256 -> 1.0, 1.0 + 3.0 / 256 -> (1.0 + 1.0 / 64))
+    val rnd = new java.util.Random(4321)
+    val sweep = (1 to 2000).map { _ =>
+      val u = rnd.nextDouble() * 2 - 1
+      rnd.nextInt(4) match {
+        case 0 => u // typical embedding range
+        case 1 => u * 1e-38 // straddles the 2⁻¹²⁶ boundary
+        case 2 => u * 1e-40 // deep subnormal bf16 range
+        case 3 => u * 1e39 // exercises the ±max-normal clamp
+      }
+    }
+    val all = fixedPoints ++ ties.map(_._1) ++ sweep
+    val got = all.map(x => (x, Array(x))).toDF("x", "v")
+      .select($"x", element_at(Quantize.bf16($"v"), 1).as("h"))
+      .as[(Double, Double)].collect().toMap
+    for (x <- fixedPoints)
+      assert(got(x) == x + 0.0, s"bf16($x) must be a fixed point, got ${got(x)}")
+    for ((x, want) <- ties)
+      assert(got(x) == want, s"bf16($x) tie must round to even $want, got ${got(x)}")
+    for (x <- sweep)
+      assert(java.lang.Double.doubleToLongBits(got(x)) ==
+        java.lang.Double.doubleToLongBits(refBf16(x)),
+        s"bf16($x): got ${got(x)}, ref ${refBf16(x)}")
+  }
+
+  test("bf16 recall@10 vs f64 exact sits between f16 and b1 (8 significand bits)") {
+    val exact = Similarity.knnExact(spark, dir, k = 10)
+    val bf16 = Similarity.knnBf16(spark, dir, k = 10)
+    val recall = Eval.recallAt(bf16, exact, "vec_id", 10)
+    info(s"bf16 recall@10 = $recall")
+    assert(recall >= 0.6, s"bf16 recall@10 too low: $recall") // measured 0.9 at sf0.01
+    // self-hit: rounding both sides identically keeps cos(v,v) maximal
+    assert(bf16.as[(Long, Double)].collect().head._1 == 0L)
+  }
+
   test("f16 recall@10 vs f64 exact: 11 significand bits keep the top-10") {
     val exact = Similarity.knnExact(spark, dir, k = 10)
     val f16 = Similarity.knnF16(spark, dir, k = 10)
