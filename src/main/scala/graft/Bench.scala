@@ -143,6 +143,23 @@ object Bench {
     val p50 = sortedSingles(sortedSingles.length / 2)
     val p95 = sortedSingles(math.min(sortedSingles.length - 1, (sortedSingles.length * 95) / 100))
 
+    // serving mode: driver-side hot WAND (zero Spark jobs per warm
+    // query) — rep 1 pays the per-term posting fetches, later reps are
+    // fully resident, so per-query bests measure warm serving latency
+    searcher.searchHot(queries.head._2, 10)
+    val hotBestT = Array.fill(queries.size)(Double.MaxValue)
+    for (_ <- 1 to reps) {
+      var i = 0
+      queries.foreach { case (_, q) =>
+        hotBestT(i) = math.min(hotBestT(i), time { searcher.searchHot(q, 10) })
+        i += 1
+      }
+    }
+    val hotSorted = hotBestT.sorted
+    best("eng_search_50q_hot") = hotSorted.sum
+    val hotP50 = hotSorted(hotSorted.length / 2)
+    val hotP95 = hotSorted(math.min(hotSorted.length - 1, (hotSorted.length * 95) / 100))
+
     deleteRec(new java.io.File(benchRoot))
 
     val qs = best.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -155,6 +172,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""build_files_per_sec":$buildFps,"batch_queries_per_sec":$batchQps,""" +
         s""""query_latency_p50_sec":$p50,"query_latency_p95_sec":$p95,""" +
+        s""""hot_latency_p50_sec":$hotP50,"hot_latency_p95_sec":$hotP95,""" +
+        s""""hot_queries_per_sec":${queries.size.toDouble / hotSorted.sum},""" +
         s""""reps":$reps,"canary_secs":$canaryArr,"canary_spread":$canarySpread,""" +
         s""""n_docs":$nDocs,"sf":"$sfDir"}""")
     spark.stop()

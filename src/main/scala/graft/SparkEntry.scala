@@ -41,8 +41,10 @@ object SparkEntry {
       Fulltext.bm25TopK(s, d, langFilter = Some("en"))),
     "eng_bm25_topk" -> Fulltext.engBm25TopK _,
     "eng_bm25_exact" -> Fulltext.engBm25Exact _,
+    "eng_bm25_hot" -> Fulltext.engBm25Hot _,
     "eng_bm25_multigen" -> Fulltext.engBm25MultiGen _,
     "eng_bm25_many" -> Fulltext.engBm25Many _,
+    "eng_bm25_many_multigen" -> Fulltext.engBm25ManyMultiGen _,
     "eng_stats" -> Fulltext.engStats _,
     // usearch key-API analogs
     "u_contains" -> UsearchOps.contains _,
@@ -133,8 +135,10 @@ object SparkEntry {
     "ft_bm25_filtered" -> Fulltext.bm25TopKSql(langFilter = Some("en")),
     "eng_bm25_topk" -> Fulltext.bm25TopKSql(),
     "eng_bm25_exact" -> Fulltext.bm25TopKSql(),
+    "eng_bm25_hot" -> Fulltext.bm25TopKSql(),
     "eng_bm25_multigen" -> Fulltext.bm25TopKSql(),
     "eng_bm25_many" -> Fulltext.bm25TopKManySql(),
+    "eng_bm25_many_multigen" -> Fulltext.bm25TopKManySql(),
     "eng_stats" -> Fulltext.engStatsSql,
     "u_contains" -> UsearchOps.containsSql,
     "u_count_key" -> UsearchOps.countKeySql,

@@ -63,6 +63,93 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     if (cacheHot) { val c = d.cache(); c.count(); c } else d
   }
 
+  // ---- hot serving path (driver-side, cacheHot only) -------------------
+  // The usearch in-RAM serving analog taken to its conclusion: once the
+  // dictionary, norms, and the query terms' postings are resident, a
+  // query should cost ZERO Spark jobs — the distributed path's ~0.5 s
+  // per-query floor is job launch, not scoring. All caches are bounded:
+  // doclens is nDocs·16 B (the serving-mode premise is a bounded index),
+  // postings evict LRU under `hotPostingsBudgetBytes`.
+  private lazy val hotDoclens: Map[Int, DocLenRow] = {
+    require(cacheHot, "searchHot requires a Searcher built with cacheHot = true")
+    doclensDS.collect().map(d => d.bucket -> d).toMap
+  }
+  private val hotPostingsBudgetBytes: Long = 256L << 20
+  private var hotPostingsBytes: Long = 0L
+  private val hotPostings =
+    new java.util.LinkedHashMap[String, Array[PostingRow]](64, 0.75f, true)
+  private val hotDecoded = new java.util.HashMap[(String, Int), graft.codec.Postings]()
+
+  private def hotRowsFor(terms: Seq[String]): Map[String, Array[PostingRow]] = {
+    val missing = terms.filterNot(hotPostings.containsKey)
+    if (missing.nonEmpty) {
+      // ONE pruned read fetches every uncached term's rows (the only
+      // Spark job a cold term costs; warm terms cost none)
+      val fetched = spark.read.parquet(layout.segments).as[PostingRow]
+        .where($"term".isin(missing: _*))
+        .collect()
+        .groupBy(_.term)
+      missing.foreach { t =>
+        val rows = fetched.getOrElse(t, Array.empty[PostingRow])
+        hotPostings.put(t, rows)
+        hotPostingsBytes += rows.iterator.map(r =>
+          r.blocks.iterator.map(_.bytes.length.toLong + 40L).sum + 64L).sum
+      }
+      // LRU eviction keeps the resident postings under budget
+      val it = hotPostings.entrySet().iterator()
+      while (hotPostingsBytes > hotPostingsBudgetBytes && it.hasNext) {
+        val e = it.next()
+        if (!terms.contains(e.getKey)) {
+          hotPostingsBytes -= e.getValue.iterator.map(r =>
+            r.blocks.iterator.map(_.bytes.length.toLong + 40L).sum + 64L).sum
+          e.getValue.foreach(r => hotDecoded.remove((r.term, r.bucket)))
+          it.remove()
+        }
+      }
+    }
+    terms.iterator.map(t => t -> hotPostings.get(t)).toMap
+  }
+
+  /** Serving-mode search: the identical WAND scoring executed entirely on
+    * the driver over resident postings — zero Spark jobs per query once
+    * the terms are warm (one pruned fetch per cold term). Bit-identical
+    * to [[search]] (same wandBucket, same per-bucket k, same
+    * (score desc, docId asc) merge); EngineSpec pins it, and the
+    * `eng_bm25_hot` driver entry runs it against the same SQL oracle as
+    * the distributed path. Requires `cacheHot = true`; per-query latency
+    * is the scoring cost itself (ms), which is what a serving deployment
+    * of a BOUNDED index actually pays — the distributed path remains the
+    * scale default.
+    */
+  def searchHot(
+      query: String,
+      k: Int,
+      exact: Boolean = false,
+      allow: Option[Long => Boolean] = None): Array[Hit] = {
+    val qTerms = Tokenizer.tokenize(query).distinct.sorted
+    val local = qTerms.flatMap(t => hotDict.get(t).map(t -> _)).toMap
+    val live = qTerms.filter(t => local.get(t).exists(_.df > 0L))
+    if (live.isEmpty) return Array.empty
+    val idfByTerm = live.map(t => t -> Bm25.idf(local(t).df, stats.nDocs)).toMap
+    val rowsByTerm = hotRowsFor(live)
+    val byBucket = rowsByTerm.valuesIterator.flatten.toArray.groupBy(_.bucket)
+    val hits = byBucket.iterator.flatMap { case (bucket, rows) =>
+      val dl = hotDoclens.getOrElse(bucket,
+        throw new IllegalStateException(
+          s"index invariant violated: bucket $bucket has postings but no doclens row ($root)"))
+      // per-bucket pre-decoded cache view (wandBucket keys by term within
+      // one bucket); decoded arrays are retained across queries
+      val cache = new java.util.HashMap[String, graft.codec.Postings]()
+      rows.foreach { r =>
+        cache.put(r.term, hotDecoded.computeIfAbsent((r.term, bucket),
+          _ => graft.codec.PostingCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq)))
+      }
+      Searcher.wandBucket(rows, dl, idfByTerm, stats.avgdl, 1.0, k, exact, allow, cache)
+    }.toArray
+    // the TakeOrderedAndProject merge, driver-side: same total order
+    hits.sortBy(h => (-h.score, h.docId)).take(k)
+  }
+
   /** `memory_usage`/`serialized_length` analog: per-component on-disk
     * sizes (component, files, bytes) from filesystem metadata only.
     */

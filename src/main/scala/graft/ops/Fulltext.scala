@@ -148,17 +148,30 @@ object Fulltext {
   /** Build (or reuse) the engine index for a testdata dir. The index is
     * cached on disk keyed by the dir name — rebuilds are resume-no-ops.
     */
-  def indexFor(spark: SparkSession, dir: String): Searcher = {
+  def indexFor(spark: SparkSession, dir: String, cacheHot: Boolean = false): Searcher = {
     val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
     val root = s"${sys.props("java.io.tmpdir")}/graft-index-$key"
     IndexBuilder.build(spark, docs(spark, dir), root, idCol = "doc_id", textCol = "text")
-    new Searcher(spark, root)
+    new Searcher(spark, root, cacheHot)
   }
 
   /** Engine WAND top-k; oracle = the same SQL as the declarative path. */
   def engBm25TopK(spark: SparkSession, dir: String): DataFrame = {
     val s = indexFor(spark, dir)
     s.search(RefQuery.mkString(" "), K)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** Serving-mode hot search (`Searcher.searchHot`: driver-side WAND over
+    * resident postings, zero Spark jobs per warm query) — must match the
+    * SAME SQL oracle as the distributed path, proving the serving path
+    * changes latency, never results.
+    */
+  def engBm25Hot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = indexFor(spark, dir, cacheHot = true)
+    s.searchHot(RefQuery.mkString(" "), K).toSeq
+      .toDF("doc_id", "score")
       .select(col("doc_id"), round(col("score"), 4).as("score"))
   }
 
@@ -234,7 +247,27 @@ object Fulltext {
     * split into two disjoint generations, searched with shared global
     * stats, merged — must match the same single-corpus SQL oracle.
     */
-  def engBm25MultiGen(spark: SparkSession, dir: String): DataFrame = {
+  def engBm25MultiGen(spark: SparkSession, dir: String): DataFrame =
+    mgenSearcher(spark, dir)
+      .search(RefQuery.mkString(" "), K)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+
+  /** Multi-generation BATCHED search: `MultiSearcher.searchMany` unions
+    * each generation's per-bucket TAAT partials (scored with the shared
+    * global stats) and merges once — must match the same per-query SQL
+    * oracle as the single-index batch ([[bm25TopKManySql]]), because the
+    * generations partition the corpus.
+    */
+  def engBm25ManyMultiGen(spark: SparkSession, dir: String): DataFrame =
+    mgenSearcher(spark, dir)
+      .searchMany(ManyQueries, K)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+
+  /** The corpus split into two disjoint generations (cached index roots,
+    * shared by the multigen entries).
+    */
+  private def mgenSearcher(spark: SparkSession, dir: String): graft.index.MultiSearcher = {
     val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
     val tmp = sys.props("java.io.tmpdir")
     val d = docs(spark, dir)
@@ -245,7 +278,5 @@ object Fulltext {
     IndexBuilder.build(spark, d.where(col("doc_id") % 2 === 1), rootB,
       idCol = "doc_id", textCol = "text")
     new graft.index.MultiSearcher(spark, Seq(rootA, rootB))
-      .search(RefQuery.mkString(" "), K)
-      .select(col("doc_id"), round(col("score"), 4).as("score"))
   }
 }

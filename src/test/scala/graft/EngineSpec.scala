@@ -111,6 +111,30 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("hot serving path (searchHot) is bit-identical to the distributed search") {
+    val root = Files.createTempDirectory("graft-idx-hot-").toString
+    val indexed = spark.range(0, nDocs).map(i => (i, CorpusGen.genDoc(42L, i).content))
+      .toDF("doc_id", "content")
+    IndexBuilder.build(spark, indexed, root, targetBuckets = 5)
+    val hot = new Searcher(spark, root, cacheHot = true)
+    val expected = CorpusGen.querySet(15).map { case (qid, q) =>
+      (qid, q, hits(searcher5.search(q, 10)).toSeq)
+    }
+    // cold pass (terms fetched) and warm pass (zero jobs) must both match
+    for (_ <- 1 to 2)
+      expected.foreach { case (qid, q, want) =>
+        val got = hot.searchHot(q, 10).map(h => (h.docId, h.score)).toSeq
+        assert(got == want, s"q$qid '$q'")
+      }
+    // filtered + exact variants flow through the same scoring
+    val allowSet = (0L until nDocs.toLong).filter(_ % 3 == 0).toSet
+    val q = "id0 id1 def"
+    assert(hot.searchHot(q, 10, allow = Some(allowSet.contains)).map(h => (h.docId, h.score)).toSeq ==
+      hits(searcher5.search(q, 10, allow = Some(allowSet.contains))).toSeq)
+    assert(hot.searchHot(q, 10, exact = true).map(h => (h.docId, h.score)).toSeq ==
+      hits(searcher5.searchExact(q, 10)).toSeq)
+  }
+
   test("taatBucket honors the memory budget: chunked and WAND-fallback paths equal the default") {
     // 300 docs / 5 buckets → 60 docs/bucket → one accumulator row = 480
     // bytes. A 960-byte budget forces chunk = 2 (exercises the chunk
