@@ -45,6 +45,7 @@ object SparkEntry {
     "eng_bm25_multigen" -> Fulltext.engBm25MultiGen _,
     "eng_bm25_many" -> Fulltext.engBm25Many _,
     "eng_bm25_many_multigen" -> Fulltext.engBm25ManyMultiGen _,
+    "eng_bm25_many_filtered" -> Fulltext.engBm25ManyFiltered _,
     "eng_stats" -> Fulltext.engStats _,
     // usearch key-API analogs
     "u_contains" -> UsearchOps.contains _,
@@ -139,6 +140,7 @@ object SparkEntry {
     "eng_bm25_multigen" -> Fulltext.bm25TopKSql(),
     "eng_bm25_many" -> Fulltext.bm25TopKManySql(),
     "eng_bm25_many_multigen" -> Fulltext.bm25TopKManySql(),
+    "eng_bm25_many_filtered" -> Fulltext.bm25TopKManySql(docFilterSql = "tf.doc_id % 3 = 0"),
     "eng_stats" -> Fulltext.engStatsSql,
     "u_contains" -> UsearchOps.containsSql,
     "u_count_key" -> UsearchOps.countKeySql,

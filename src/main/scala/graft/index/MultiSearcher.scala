@@ -62,11 +62,15 @@ final class MultiSearcher(spark: SparkSession, roots: Seq[String]) {
     * single-index batch would give (MergeSpec pins multi-gen batch ≡
     * single-index batch).
     */
-  def searchMany(queries: Seq[(Int, String)], k: Int): DataFrame = {
+  def searchMany(
+      queries: Seq[(Int, String)],
+      k: Int,
+      allow: Option[Long => Boolean] = None): DataFrame = {
     val allTerms = queries
       .flatMap { case (_, q) => Tokenizer.tokenize(q) }.distinct.sorted
     val g = globalStatsFor(allTerms)
     Searcher.finishMany(
-      searchers.map(_.searchManyBuckets(queries, k, Some(g))).reduce(_ union _), k)
+      searchers.map(_.searchManyBuckets(queries, k, Some(g), allow = allow))
+        .reduce(_ union _), k)
   }
 }

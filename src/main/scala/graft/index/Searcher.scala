@@ -281,9 +281,10 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
       k: Int,
       globalStats: Option[GlobalStats] = None,
       counters: Option[SearchCounters] = None,
-      taatBudgetBytes: Long = Searcher.DefaultTaatBudgetBytes): DataFrame =
+      taatBudgetBytes: Long = Searcher.DefaultTaatBudgetBytes,
+      allow: Option[Long => Boolean] = None): DataFrame =
     Searcher.finishMany(
-      searchManyBuckets(queries, k, globalStats, counters, taatBudgetBytes), k)
+      searchManyBuckets(queries, k, globalStats, counters, taatBudgetBytes, allow), k)
 
   /** Per-bucket partial results of a batched search: (query_id, doc_id,
     * score), each bucket's top-k per query, NOT yet globally merged.
@@ -296,7 +297,8 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
       k: Int,
       globalStats: Option[GlobalStats] = None,
       counters: Option[SearchCounters] = None,
-      taatBudgetBytes: Long = Searcher.DefaultTaatBudgetBytes): DataFrame = {
+      taatBudgetBytes: Long = Searcher.DefaultTaatBudgetBytes,
+      allow: Option[Long => Boolean] = None): DataFrame = {
     val qTerms: Seq[(Int, Array[String])] =
       queries.map { case (id, q) => (id, Tokenizer.tokenize(q).distinct.sorted) }
     val allTerms = qTerms.flatMap(_._2).distinct.sorted
@@ -337,6 +339,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     val ubScaleLocal = math.max(1.0, g.avgdl / stats.avgdl)
     val budgetLocal = taatBudgetBytes
     val countersLocal = counters.orNull
+    val allowB = spark.sparkContext.broadcast(allow)
 
     postings
       .groupByKey(_.bucket)
@@ -354,7 +357,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
           val cache = new java.util.HashMap[String, graft.codec.Postings]()
           Searcher.taatBucket(postsArr, lensArr.head, idfB.value,
             avgdlLocal, kLocal, queriesB.value.toArray, cache,
-            budgetLocal, ubScaleLocal, countersLocal)
+            budgetLocal, ubScaleLocal, countersLocal, allowB.value)
         }
       }
       .toDF("query_id", "doc_id", "score")
@@ -428,7 +431,8 @@ object Searcher {
       decodedCache: java.util.HashMap[String, graft.codec.Postings],
       budgetBytes: Long = DefaultTaatBudgetBytes,
       ubScale: Double = 1.0,
-      counters: SearchCounters = null): Iterator[(Int, Long, Double)] = {
+      counters: SearchCounters = null,
+      allow: Option[Long => Boolean] = None): Iterator[(Int, Long, Double)] = {
     val dIds = doclen.docIds
     val dLens = doclen.lens
     val nb = dIds.length
@@ -442,7 +446,7 @@ object Searcher {
         val qRows = ts.flatMap(byTerm.get)
         if (qRows.isEmpty) Iterator.empty
         else wandBucket(qRows, doclen, idfByTerm, avgdl, ubScale, k,
-          exact = false, allow = None, decodedCache, counters)
+          exact = false, allow, decodedCache, counters)
           .map(h => (qid, h.docId, h.score))
       }
     }
@@ -541,6 +545,10 @@ object Searcher {
         }
         ri += 1
       }
+      // `filtered_search` in batch mode: the predicate gates the top-k
+      // OFFER (ranks come from the filtered set), identical to the WAND
+      // path's during-scoring check — accumulation itself is unchanged
+      val allowF: Long => Boolean = allow.orNull
       var q = q0
       while (q < q1) {
         val a = acc(q - q0)
@@ -549,7 +557,9 @@ object Searcher {
         while (di < nb) {
           // BM25 contributions are strictly positive (idf > 0, tf ≥ 1),
           // so 0.0 means "no query term matched this doc"
-          if (a(di) > 0.0) { topk.offer(dIds(di), a(di)); scored += 1 }
+          if (a(di) > 0.0 && (allowF == null || allowF(dIds(di)))) {
+            topk.offer(dIds(di), a(di)); scored += 1
+          }
           di += 1
         }
         topk.result.foreach(h => out += ((queries(q)._1, h.docId, h.score)))

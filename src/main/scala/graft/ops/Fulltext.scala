@@ -200,13 +200,27 @@ object Fulltext {
         round(col("score"), 4).as("score"))
   }
 
+  /** Filtered batched search — the doc predicate gates the top-k offer
+    * inside the TAAT scorer (ranks come from the filtered set, the
+    * `filtered_search` semantics), batched. The oracle applies the same
+    * predicate inside the per-query scoring subquery.
+    */
+  def engBm25ManyFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val s = indexFor(spark, dir)
+    s.searchMany(ManyQueries, K, allow = Some((d: Long) => d % 3 == 0))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** UNION ALL of per-query oracles, each the [[bm25TopKSql]] math with
     * a rank column.
     */
-  def bm25TopKManySql(queries: Seq[(Int, String)] = ManyQueries, k: Int = K): String =
+  def bm25TopKManySql(queries: Seq[(Int, String)] = ManyQueries, k: Int = K,
+      docFilterSql: String = ""): String =
     queries.map { case (qid, q) =>
       val terms = Tokenizer.tokenize(q).distinct.sorted.toSeq
       val termList = terms.map(t => s"'$t'").mkString(", ")
+      val filterClause = if (docFilterSql.isEmpty) "" else s" AND $docFilterSql"
       s"""SELECT $qid AS query_id, CAST(rnk AS INT) AS rank, doc_id, round(score_raw, 4) AS score FROM (
          |  WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
          |  tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -219,7 +233,7 @@ object Fulltext {
          |         row_number() OVER (
          |           ORDER BY sum(${graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")}) DESC, tf.doc_id) AS rnk
          |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-         |  WHERE tf.term IN ($termList)
+         |  WHERE tf.term IN ($termList)$filterClause
          |  GROUP BY tf.doc_id) x
          |WHERE rnk <= $k""".stripMargin
     }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY query_id, rank")

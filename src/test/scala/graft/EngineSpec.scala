@@ -111,6 +111,25 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("filtered batch searchMany equals per-query filtered search, dense and fallback") {
+    val queries = CorpusGen.querySet(15)
+    val allowSet = (0L until nDocs.toLong).filter(_ % 3 == 0).toSet
+    val af: Option[Long => Boolean] = Some(allowSet.contains)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "doc_id", "score")
+      .as[(Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    val dense = rows(searcher5.searchMany(queries, 10, allow = af))
+    // 100-byte budget < one 480-byte accumulator row → WAND fallback path
+    val viaFallback = rows(searcher5.searchMany(queries, 10, taatBudgetBytes = 100L, allow = af))
+    queries.foreach { case (qid, q) =>
+      val single = hits(searcher5.search(q, 10, allow = af)).toSeq
+      assert(dense.getOrElse(qid, Seq.empty) == single, s"dense q$qid '$q'")
+      assert(viaFallback.getOrElse(qid, Seq.empty) == single, s"fallback q$qid '$q'")
+      single.foreach { case (d, _) => assert(allowSet.contains(d)) }
+    }
+  }
+
   test("hot serving path (searchHot) is bit-identical to the distributed search") {
     val root = Files.createTempDirectory("graft-idx-hot-").toString
     val indexed = spark.range(0, nDocs).map(i => (i, CorpusGen.genDoc(42L, i).content))

@@ -64,6 +64,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$plan")
   }
 
+  test("ranked string search plans as TakeOrderedAndProject over a broadcast query") {
+    val plan = planOf(graft.ops.TextAnalysis.stringKnn(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrderedAndProject in:\n$plan")
+    assert(plan.contains("Broadcast"), s"query string not broadcast:\n$plan")
+  }
+
   test("batched kNN partial-aggregates the bounded top-k map-side") {
     val plan = planOf(graft.ops.Similarity.knnExactMany(spark, "/root/testdata/sf0.001"))
     // TypedImperativeAggregate plans as ObjectHashAggregate with a
