@@ -89,6 +89,8 @@ object SparkEntry {
     // approximate configuration's recall is measured in IvfSpec
     "sim_ivf_knn" -> ((s: SparkSession, d: String) =>
       Similarity.ivfKnn(s, d, k = 10, nlist = 8, nprobe = 8)),
+    "sim_ivf_knn_batch" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfKnnMany(s, d, nQueries = 5, k = 10, nlist = 8, nprobe = 8)),
     // engine clustering + stable-marriage join, both with FULL SQL
     // oracles (the determinism discipline makes the iterations
     // expressible: unrolled CTEs / a recursive CTE)
@@ -108,6 +110,8 @@ object SparkEntry {
     "dd_simhash_hamming" -> ((s: SparkSession, d: String) => Dedup.simhashHamming(s, d)),
     // multimodal binary-column plumbing
     "mm_byte_stats" -> graft.multimodal.Multimodal.byteStats _,
+    "mm_frame_hist" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.frameHist(s, d)),
     // text analysis
     "ta_tokcount" -> TextAnalysis.tokenCount _,
     "ta_quality" -> TextAnalysis.quality _,
@@ -155,6 +159,7 @@ object SparkEntry {
     "sim_cluster_assign" -> Similarity.clusterAssignSql,
     "sim_emb_neardup" -> Similarity.embNearDupSql(),
     "sim_ivf_knn" -> Similarity.knnExactSql(),
+    "sim_ivf_knn_batch" -> Similarity.knnExactManySql(),
     "eng_kmeans" -> Similarity.kmeansAssignSql,
     "eng_semantic_join" -> Similarity.semanticJoinSql,
     "eng_semantic_join_ann" -> Similarity.semanticJoinAnnSql,
@@ -184,6 +189,7 @@ object SparkEntry {
     "dd_simhash" -> Dedup.simhashSql,
     "dd_simhash_hamming" -> Dedup.simhashHammingSql(),
     "mm_byte_stats" -> graft.multimodal.Multimodal.byteStatsSql,
+    "mm_frame_hist" -> graft.multimodal.Multimodal.frameHistSql(),
     "ta_tokcount" -> TextAnalysis.tokenCountSql,
     "ta_quality" -> TextAnalysis.qualitySql,
     "ta_langid" -> TextAnalysis.langIdSql,

@@ -98,6 +98,52 @@ object Multimodal {
     }.toDF("media_id", "frame_no", "frame_bytes", "frame_features")
   }
 
+  /** Frame-level byte-bucket histogram with INTEGER counts — the
+    * driver-oracle-able twin of [[sampleFrames]] + [[decodeStub]]: the
+    * same stride slicing, frame cap, and byte→bucket mapping, but emitted
+    * as raw counts (not the normalized floats) so the DuckDB twin — which
+    * decomposes the BLOB byte-by-byte via `hex()` — is value-exact. This
+    * upgrades the multimodal gate from "byte lengths round-trip"
+    * ([[byteStats]]) to "the decode/feature pipeline itself is verified".
+    * Bounded to `maxMedia` payloads: the oracle's per-byte unnest is
+    * O(media × stride × frames), a fixed probe regardless of corpus size
+    * (the full-corpus path stays [[extractFeatures]]/[[sampleFrames]]).
+    */
+  def frameHist(spark: SparkSession, dir: String, stride: Int = 64,
+      maxFrames: Int = 4, maxMedia: Long = 100L): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).filter(_.media_id < maxMedia)
+      .flatMap { m =>
+        m.payload.grouped(stride).take(maxFrames).zipWithIndex.flatMap {
+          case (chunk, f) =>
+            val hist = new Array[Long](FeatureDim)
+            chunk.foreach(b => hist((b & 0xff) % FeatureDim) += 1L)
+            (0 until FeatureDim).map(j => (m.media_id, f, j, hist(j)))
+        }
+      }.toDF("media_id", "frame_no", "bucket", "cnt")
+      .orderBy("media_id", "frame_no", "bucket")
+  }
+
+  def frameHistSql(stride: Int = 64, maxFrames: Int = 4, maxMedia: Long = 100L): String = {
+    val maxBytes = stride * maxFrames
+    s"""WITH d AS (SELECT doc_id AS media_id, encode(text) AS payload
+       |           FROM documents WHERE doc_id < $maxMedia),
+       |b AS (SELECT media_id,
+       |             unnest(range(1, least(octet_length(payload), $maxBytes) + 1)) AS i,
+       |             hex(payload) AS hx FROM d),
+       |v AS (SELECT media_id, i,
+       |             ('0x' || substr(hx, CAST((i-1)*2+1 AS INT), 2))::BIGINT AS byte FROM b),
+       |f AS (SELECT media_id, CAST((i-1) // $stride AS INT) AS frame_no,
+       |             CAST(byte % $FeatureDim AS INT) AS bucket FROM v),
+       |cnt AS (SELECT media_id, frame_no, bucket, count(*) AS c FROM f GROUP BY 1,2,3),
+       |frames AS (SELECT DISTINCT media_id, frame_no FROM f),
+       |grid AS (SELECT media_id, frame_no,
+       |                CAST(unnest(range(0, $FeatureDim)) AS INT) AS bucket FROM frames)
+       |SELECT g.media_id, g.frame_no, g.bucket, CAST(coalesce(c.c, 0) AS BIGINT) AS cnt
+       |FROM grid g LEFT JOIN cnt c USING (media_id, frame_no, bucket)
+       |ORDER BY media_id, frame_no, bucket""".stripMargin
+  }
+
   /** Driver-checkable summary (SQL-expressible): payload byte lengths per
     * media kind — proves the binary column plumbing end-to-end.
     */

@@ -437,6 +437,56 @@ object Similarity {
       .select(col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
   }
 
+  /** Batched IVF ANN: every query probes its own nprobe nearest cells,
+    * candidates come from ONE partition-pruned join of the (query, cid)
+    * probe table against the cell-partitioned assignments, and the
+    * per-query top-k is the bounded map-side-partial aggregate — the
+    * batch analog of [[ivfKnn]] (the reference scores many queries per
+    * index pass, `exact_search_t` index_plugins.hpp:2071-2164). Probe
+    * selection is itself distributed — queries × broadcast(nlist
+    * centroids) → bounded TopKAgg per query — so NOTHING scales with the
+    * query count on the driver; a million-query batch plans the same
+    * way. Probing the nprobe cells of max cosine == min cosine DISTANCE
+    * (1−cos is monotone; ties in cos are ties in d, both break id-asc),
+    * so this matches [[ivfKnn]]'s per-query probe rule — IvfSpec pins
+    * batch ≡ per-query at nprobe < nlist. At `nprobe = nlist` every cell
+    * is probed, so the full batched machinery must reproduce the
+    * brute-force batch oracle exactly.
+    */
+  def ivfKnnMany(
+      spark: SparkSession,
+      dir: String,
+      nQueries: Int = 5,
+      k: Int = 10,
+      nlist: Int = 8,
+      nprobe: Int = 8): DataFrame = {
+    val ivf = ivfIndexFor(spark, dir, nlist)
+    val qSet = emb(spark, dir).where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probeDf = broadcast(
+      qSet.crossJoin(broadcast(ivf.centroids
+          .select(col("cid"), col("cvec").as("cv"))))
+        .select(col("query_id"), col("cid"), cosine(col("qv"), col("cv")).as("c_cos"))
+        .groupBy(col("query_id"))
+        .agg(graft.functions.TopKAgg.greatest(col("c_cos"), col("cid"), nprobe).as("cells"))
+        .select(col("query_id"), explode(col("cells.id")).as("cid")))
+    val q = broadcast(emb(spark, dir).where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    ivf.assignments
+      .join(probeDf, "cid")
+      .select(col("query_id"), col("id").as("vec_id"))
+      .join(emb(spark, dir), "vec_id")
+      .join(q, "query_id")
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("qv")).as("cos_raw"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.greatest(col("cos_raw"), col("vec_id"), k).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("rnk0", "h")))
+      .select(col("query_id"), (col("rnk0") + 1).as("rank"),
+        col("h.id").as("vec_id"), round(col("h.score"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   final val KmeansK = 8
   final val KmeansIters = 3
 

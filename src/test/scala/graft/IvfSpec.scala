@@ -31,4 +31,19 @@ class IvfSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(ivf == exact)
   }
+
+  test("batched IVF equals per-query IVF at nprobe < nlist") {
+    val nQ = 3
+    val batch = Similarity.ivfKnnMany(spark, dir, nQueries = nQ, k = 10,
+      nlist = 8, nprobe = 3)
+      .select("query_id", "vec_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    (0 until nQ).foreach { q =>
+      val per = Similarity.ivfKnn(spark, dir, k = 10, nlist = 8, nprobe = 3,
+        queryVecId = q.toLong)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch.getOrElse(q.toLong, Seq.empty) == per, s"query $q")
+    }
+  }
 }

@@ -31,6 +31,26 @@ class MultimodalSpec extends SparkSpec {
       f2.sortBy(_.media_id).map(_.features.toSeq).toSeq)
   }
 
+  test("frame histogram counts are the stub decoder's features, un-normalized") {
+    val media = Multimodal.mediaTable(spark, dir).filter(_.media_id < 20).collect()
+    assert(media.nonEmpty)
+    val hist = Multimodal.frameHist(spark, dir, maxMedia = 20L)
+      .as[(Long, Int, Int, Long)].collect()
+      .groupBy(t => (t._1, t._2)).view
+      .mapValues(_.sortBy(_._3).map(_._4)).toMap
+    media.foreach { m =>
+      m.payload.grouped(64).take(4).zipWithIndex.foreach { case (chunk, f) =>
+        val feats = Multimodal.decodeStub(chunk)
+        val counts = hist((m.media_id, f))
+        val n = math.max(chunk.length, 1).toFloat
+        assert(counts.sum == chunk.length)
+        (0 until Multimodal.FeatureDim).foreach { j =>
+          assert(feats(j) == counts(j) / n, s"media ${m.media_id} frame $f bucket $j")
+        }
+      }
+    }
+  }
+
   test("frame sampling emits bounded deterministic frames") {
     val frames = Multimodal.sampleFrames(Multimodal.mediaTable(spark, dir)).collect()
     assert(frames.nonEmpty)
