@@ -91,6 +91,8 @@ object SparkEntry {
       Similarity.ivfKnn(s, d, k = 10, nlist = 8, nprobe = 8)),
     "sim_ivf_knn_batch" -> ((s: SparkSession, d: String) =>
       Similarity.ivfKnnMany(s, d, nQueries = 5, k = 10, nlist = 8, nprobe = 8)),
+    "sim_ivf_knn_filtered" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfKnn(s, d, k = 10, nlist = 8, nprobe = 8, labelFilter = Some(3))),
     // engine clustering + stable-marriage join, both with FULL SQL
     // oracles (the determinism discipline makes the iterations
     // expressible: unrolled CTEs / a recursive CTE)
@@ -160,6 +162,7 @@ object SparkEntry {
     "sim_emb_neardup" -> Similarity.embNearDupSql(),
     "sim_ivf_knn" -> Similarity.knnExactSql(),
     "sim_ivf_knn_batch" -> Similarity.knnExactManySql(),
+    "sim_ivf_knn_filtered" -> Similarity.knnExactSql(labelFilter = Some(3)),
     "eng_kmeans" -> Similarity.kmeansAssignSql,
     "eng_semantic_join" -> Similarity.semanticJoinSql,
     "eng_semantic_join_ann" -> Similarity.semanticJoinAnnSql,

@@ -400,13 +400,20 @@ object Similarity {
       spark.read.parquet(s"$root/assignments"))
   }
 
+  /** `labelFilter` = the reference's `filtered_search` predicate applied
+    * DURING scoring (candidates from the probed cells are tested before
+    * they can enter the top-k), not by shrinking the index — same
+    * semantics as the engine's filtered WAND. At `nprobe = nlist` the
+    * filtered IVF result must equal the filtered brute-force oracle.
+    */
   def ivfKnn(
       spark: SparkSession,
       dir: String,
       k: Int = 10,
       nlist: Int = 16,
       nprobe: Int = 4,
-      queryVecId: Long = 0L): DataFrame = {
+      queryVecId: Long = 0L,
+      labelFilter: Option[Int] = None): DataFrame = {
     val ivf = ivfIndexFor(spark, dir, nlist)
 
     // nprobe cells nearest to the query vector (nlist rows → driver)
@@ -426,10 +433,13 @@ object Similarity {
 
     val q = broadcast(emb(spark, dir).where(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_embedding")))
+    val base = labelFilter
+      .map(l => emb(spark, dir).where(col("label") === l))
+      .getOrElse(emb(spark, dir))
     ivf.assignments
       .where(col("cid").isin(probed.toSeq: _*))
       .select(col("id").as("vec_id"))
-      .join(emb(spark, dir), "vec_id")
+      .join(base, "vec_id")
       .crossJoin(q)
       .select(col("vec_id"), cosine(col("embedding"), col("q_embedding")).as("cos_raw"))
       .orderBy(desc("cos_raw"), asc("vec_id"))

@@ -32,6 +32,21 @@ class IvfSpec extends SparkSpec {
     assert(ivf == exact)
   }
 
+  test("filtered IVF honors the predicate and matches filtered exact at full probe") {
+    val full = Similarity.ivfKnn(spark, dir, k = 10, nlist = 8, nprobe = 8,
+      labelFilter = Some(3)).as[(Long, Double)].collect().toSeq
+    val exact = Similarity.knnExact(spark, dir, k = 10, labelFilter = Some(3))
+      .as[(Long, Double)].collect().toSeq
+    assert(full == exact)
+    val allowed = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where($"label" === 3).select($"vec_id").as[Long].collect().toSet
+    val partial = Similarity.ivfKnn(spark, dir, k = 10, nlist = 8, nprobe = 3,
+      labelFilter = Some(3)).as[(Long, Double)].collect()
+    assert(partial.nonEmpty)
+    assert(partial.forall(r => allowed.contains(r._1)),
+      s"non-label-3 ids leaked: ${partial.map(_._1).toSeq}")
+  }
+
   test("batched IVF equals per-query IVF at nprobe < nlist") {
     val nQ = 3
     val batch = Similarity.ivfKnnMany(spark, dir, nQueries = nQ, k = 10,
