@@ -64,6 +64,8 @@ object SparkEntry {
     "sim_recall_i8" -> Similarity.recallI8 _,
     "sim_knn_b1" -> ((s: SparkSession, d: String) => Similarity.knnB1(s, d)),
     "sim_recall_b1" -> Similarity.recallB1 _,
+    "sim_knn_b1_refine" -> ((s: SparkSession, d: String) => Similarity.knnB1Refine(s, d)),
+    "sim_recall_b1_refine" -> Similarity.recallB1Refine _,
     "sim_knn_f16" -> ((s: SparkSession, d: String) => Similarity.knnF16(s, d)),
     "sim_recall_f16" -> Similarity.recallF16 _,
     "sim_knn_bf16" -> ((s: SparkSession, d: String) => Similarity.knnBf16(s, d)),
@@ -108,6 +110,7 @@ object SparkEntry {
     "dd_exact" -> Dedup.exact _,
     "dd_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dd_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "dd_neardup_groups" -> ((s: SparkSession, d: String) => Dedup.neardupGroups(s, d)),
     "dd_simhash" -> Dedup.simhash _,
     "dd_simhash_hamming" -> ((s: SparkSession, d: String) => Dedup.simhashHamming(s, d)),
     // multimodal binary-column plumbing
@@ -172,6 +175,8 @@ object SparkEntry {
     "sim_recall_i8" -> Similarity.recallI8Sql,
     "sim_knn_b1" -> Similarity.knnB1Sql(),
     "sim_recall_b1" -> Similarity.recallB1Sql,
+    "sim_knn_b1_refine" -> Similarity.knnB1RefineSql(),
+    "sim_recall_b1_refine" -> Similarity.recallB1RefineSql,
     "sim_knn_f16" -> Similarity.knnF16Sql(),
     "sim_recall_f16" -> Similarity.recallF16Sql,
     "sim_knn_bf16" -> Similarity.knnBf16Sql(),
@@ -189,6 +194,7 @@ object SparkEntry {
     "dd_exact" -> Dedup.exactSql,
     "dd_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     "dd_minhash_lsh" -> Dedup.minhashLshSql(),
+    "dd_neardup_groups" -> Dedup.neardupGroupsSql(),
     "dd_simhash" -> Dedup.simhashSql,
     "dd_simhash_hamming" -> Dedup.simhashHammingSql(),
     "mm_byte_stats" -> graft.multimodal.Multimodal.byteStatsSql,

@@ -173,11 +173,25 @@ object Dedup {
     * never all pairs. Hot buckets are bounded because signatures of
     * non-near-dups collide on a full band with prob ≈ jaccard².
     */
+  /** Memoized cached signature table — [[minhashLsh]] and
+    * [[neardupGroups]] both consume it; re-caching an identical plan per
+    * call would trip CacheManager "already cached" warnings (same
+    * eviction-aware pattern as [[shingleTable]]).
+    */
+  private val minhashCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private def minhashTable(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val df = minhashCache.getOrElseUpdate((spark, dir), minhashes(spark, dir))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
+    df
+  }
+
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     // signatures cached: ONE banded table self-joined once on
     // (band, k1, k2) — the union-of-4-self-joins formulation recomputed
     // the signature aggregation for every band and side (8 scans)
-    val mh = minhashes(spark, dir).cache()
+    val mh = minhashTable(spark, dir)
     val banded = mh.select(col("doc_id"), explode(array((0 until Bands).map(b =>
       struct(lit(b).as("band"), col(s"m${2 * b}").as("k1"), col(s"m${2 * b + 1}").as("k2"))): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.k1").as("k1"), col("bs.k2").as("k2"))
@@ -207,9 +221,13 @@ object Dedup {
       .orderBy(col("left_id"), col("right_id"))
   }
 
-  def minhashLshSql(threshold: Double = 0.8): String = {
-    // two md5 digests per shingle, four 8-hex-chunk hashes each — the
-    // exact twin of [[minhashes]]
+  /** DuckDB CTE chain shared by [[minhashLshSql]] and
+    * [[neardupGroupsSql]]: shingles → minhash signatures → banded
+    * candidates → Jaccard-verified `pairs(left_id, right_id, jaccard_bp)`.
+    * Two md5 digests per shingle, four 8-hex-chunk hashes each — the
+    * exact twin of [[minhashes]].
+    */
+  private def minhashPairsCtes(threshold: Double): String = {
     val minCols = (0 until NumHashes)
       .map { i =>
         val prefix = if (i < 4) "a" else "b"
@@ -221,7 +239,7 @@ object Dedup {
          |  FROM mh a JOIN mh b ON a.m${2 * b} = b.m${2 * b} AND a.m${2 * b + 1} = b.m${2 * b + 1}
          |  WHERE a.doc_id < b.doc_id""".stripMargin
     }.mkString("\n  UNION\n  ")
-    s"""WITH ${shinglesSqlCte},
+    s"""${shinglesSqlCte},
        |mh AS (SELECT doc_id, $minCols FROM sh GROUP BY doc_id),
        |cand AS (
        |  $bandJoins),
@@ -231,15 +249,91 @@ object Dedup {
        |  FROM (SELECT DISTINCT left_id, right_id FROM cand) c
        |  JOIN sh a ON a.doc_id = c.left_id
        |  JOIN sh b ON b.doc_id = c.right_id AND b.shingle = a.shingle
-       |  GROUP BY 1, 2)
-       |SELECT left_id, right_id,
-       |  (20000 * i + (ca.n_sh + cb.n_sh - i)) // (2 * (ca.n_sh + cb.n_sh - i)) AS jaccard_bp
-       |FROM inter
-       |JOIN cnt ca ON ca.doc_id = left_id
-       |JOIN cnt cb ON cb.doc_id = right_id
-       |WHERE i::DOUBLE / (ca.n_sh + cb.n_sh - i) >= $threshold
-       |ORDER BY left_id, right_id""".stripMargin
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT left_id, right_id,
+       |    (20000 * i + (ca.n_sh + cb.n_sh - i)) // (2 * (ca.n_sh + cb.n_sh - i)) AS jaccard_bp
+       |  FROM inter
+       |  JOIN cnt ca ON ca.doc_id = left_id
+       |  JOIN cnt cb ON cb.doc_id = right_id
+       |  WHERE i::DOUBLE / (ca.n_sh + cb.n_sh - i) >= $threshold)""".stripMargin
   }
+
+  def minhashLshSql(threshold: Double = 0.8): String =
+    s"""WITH ${minhashPairsCtes(threshold)}
+       |SELECT left_id, right_id, jaccard_bp FROM pairs
+       |ORDER BY left_id, right_id""".stripMargin
+
+  /** Near-duplicate GROUPS: connected components over the verified
+    * MinHash-LSH pair graph, every document labeled with the SMALLEST
+    * doc_id reachable through near-dup edges — the canonical
+    * representative a dedup pass keeps (same min-id-representative rule
+    * as [[exact]]). This is the step that turns near-dup PAIRS into a
+    * dedup DECISION: transitive chains a→b→c collapse to one group even
+    * when (a, c) itself never passed the pair threshold.
+    *
+    * Scale shape: min-label propagation with POINTER JUMPING —
+    * each round first relaxes labels across edges (one shuffle join +
+    * partial-agg min per round), then applies label(v) ← label(label(v))
+    * (labels are always doc ids, so the self-join is total). Jumping
+    * makes the distance-to-minimum halve per round → O(log diameter)
+    * rounds instead of O(diameter); every round is shuffle-bounded by
+    * |edges| + |docs| and the driver holds only a convergence scalar.
+    * The fixpoint (min reachable id) is unique → deterministic,
+    * engine-independent, and SQL-oracle-able as a recursive CTE.
+    */
+  def neardupGroups(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashLsh(spark, dir, threshold)
+      .select(col("left_id"), col("right_id"))
+    val edges = pairs
+      .union(pairs.select(col("right_id"), col("left_id")))
+      .toDF("src", "dst")
+      .cache()
+    var labels = docs(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("group_id")).cache()
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 40,
+        "neardupGroups: label propagation did not converge in 40 rounds")
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("group_id").as("nbr_g")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nbr_g")).as("nbr_min"))
+      val relaxed = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("group_id"))
+      val next = relaxed.as("l")
+        .join(relaxed.select(col("doc_id").as("gid"), col("group_id").as("g2")),
+          col("l.group_id") === col("gid"))
+        .select(col("l.doc_id").as("doc_id"), col("g2").as("group_id"))
+        .cache()
+      val changed = next.as("n").join(labels.as("p"), "doc_id")
+        .where(col("n.group_id") =!= col("p.group_id")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+    }
+    edges.unpersist()
+    labels.orderBy(col("doc_id"))
+  }
+
+  /** Recursive-CTE twin of [[neardupGroups]]: min reachable doc_id over
+    * the symmetric closure of the verified pair graph.
+    */
+  def neardupGroupsSql(threshold: Double = 0.8): String =
+    s"""WITH RECURSIVE ${minhashPairsCtes(threshold)},
+       |edges AS (
+       |  SELECT left_id AS src, right_id AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT right_id, left_id FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS group_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
   // SimHash

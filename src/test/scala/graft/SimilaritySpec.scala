@@ -55,4 +55,44 @@ class SimilaritySpec extends SparkSpec {
     assertNoAllPairsJoin(
       Dedup.simhashHamming(spark, "/root/testdata/sf0.001"), "simhashHamming")
   }
+
+  test("b1 coarse + exact refine: full shortlist == exact; 8x shortlist recovers recall") {
+    val dir = "/root/testdata/sf0.001"
+    // factor 50 → shortlist = whole 500-vector corpus → refine must
+    // reproduce the exact ranking row-for-row
+    val full = Similarity.knnB1Refine(spark, dir, k = 10, factor = 50).collect().toSeq
+    val exact = Similarity.knnExact(spark, dir).collect().toSeq
+    assert(full == exact, "full-corpus shortlist refine != exact ranking")
+    def bp(df: DataFrame): Long = df.collect().head.getLong(1)
+    val bare = bp(Similarity.recallB1(spark, dir))
+    val refined = bp(Similarity.recallB1Refine(spark, dir))
+    assert(refined >= bare, s"refine lowered recall: $refined < $bare")
+    assert(refined >= 9000,
+      s"8x shortlist should recover the b1 recall cliff, got $refined bp (bare b1: $bare)")
+  }
+
+  for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    test(s"near-dup groups == union-find over verified LSH pairs ($dir)") {
+      val pairs = Dedup.minhashLsh(spark, dir)
+        .select("left_id", "right_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val docIds = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").collect().map(_.getLong(0))
+      // union-find with min-id roots: attaching the larger root under the
+      // smaller keeps every root the minimum id of its component
+      val parent = scala.collection.mutable.Map(docIds.map(d => d -> d).toSeq: _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      for ((a, b) <- pairs) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = docIds.sorted.map(d => (d, find(d))).toSeq
+      val got = Dedup.neardupGroups(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == expected)
+      val sizes = got.groupBy(_._2).map(_._2.size)
+      assert(sizes.exists(_ >= 3),
+        "no component of size >= 3 — transitive collapse untested (vacuous fixture)")
+    }
+  }
 }
