@@ -42,6 +42,7 @@ object SparkEntry {
     "eng_bm25_topk" -> Fulltext.engBm25TopK _,
     "eng_bm25_exact" -> Fulltext.engBm25Exact _,
     "eng_bm25_hot" -> Fulltext.engBm25Hot _,
+    "eng_more_like_this" -> ((s: SparkSession, d: String) => Fulltext.engMoreLikeThis(s, d)),
     "eng_bm25_multigen" -> Fulltext.engBm25MultiGen _,
     "eng_bm25_many" -> Fulltext.engBm25Many _,
     "eng_bm25_many_multigen" -> Fulltext.engBm25ManyMultiGen _,
@@ -130,6 +131,7 @@ object SparkEntry {
     "ta_string_knn" -> ((s: SparkSession, d: String) => TextAnalysis.stringKnn(s, d)),
     // composite training-data curation: lang filter ∧ dedup rep ∧ quality
     "ta_curate" -> ((s: SparkSession, d: String) => TextAnalysis.curate(s, d)),
+    "ta_contamination" -> ((s: SparkSession, d: String) => TextAnalysis.contamination(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -146,6 +148,7 @@ object SparkEntry {
     "eng_bm25_topk" -> Fulltext.bm25TopKSql(),
     "eng_bm25_exact" -> Fulltext.bm25TopKSql(),
     "eng_bm25_hot" -> Fulltext.bm25TopKSql(),
+    "eng_more_like_this" -> Fulltext.engMoreLikeThisSql(),
     "eng_bm25_multigen" -> Fulltext.bm25TopKSql(),
     "eng_bm25_many" -> Fulltext.bm25TopKManySql(),
     "eng_bm25_many_multigen" -> Fulltext.bm25TopKManySql(),
@@ -208,5 +211,6 @@ object SparkEntry {
     "ta_hamming_str" -> TextAnalysis.hammingStrPairsSql,
     "ta_string_knn" -> TextAnalysis.stringKnnSql(),
     "ta_curate" -> TextAnalysis.curateSql(),
+    "ta_contamination" -> TextAnalysis.contaminationSql(),
   )
 }

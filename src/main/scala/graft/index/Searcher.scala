@@ -179,6 +179,30 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
         .toMap
   }
 
+  /** Decoded (term, doc_id) membership pairs for the given terms — ONE
+    * segments read pruned by `term IN (...)` pushdown plus the
+    * dictionary's bucket partition filter, blocks decoded on executors.
+    * The index-as-candidate-source primitive: containment/phrase queries
+    * get their candidate doc sets from the index instead of re-tokenizing
+    * the corpus (posting enumeration analog of the reference's member
+    * iteration, /root/reference/include/usearch/index.hpp:2982-3009).
+    */
+  def postingDocIds(terms: Seq[String]): DataFrame = {
+    val empty = spark.emptyDataset[(String, Long)].toDF("term", "doc_id")
+    if (terms.isEmpty) return empty
+    val local = dictRows(terms)
+    val buckets = terms
+      .flatMap(t => local.get(t).map(_.buckets.toSeq).getOrElse(Seq.empty)).distinct
+    if (buckets.isEmpty) return empty
+    spark.read.parquet(layout.segments).as[PostingRow]
+      .where($"term".isin(terms: _*) && $"bucket".isin(buckets: _*))
+      .flatMap { row =>
+        val p = PostingCodec.decodeBlocks(row.blocks.map(_.bytes).toSeq)
+        Iterator.tabulate(p.size)(i => (row.term, p.docIds(i)))
+      }
+      .toDF("term", "doc_id")
+  }
+
   /** Top-k search. Returns DataFrame(doc_id: Long, score: Double) ordered
     * (score desc, doc_id asc), exactly k rows or fewer.
     *

@@ -257,6 +257,63 @@ object Fulltext {
        |  count(DISTINCT (doc_id, term)) AS total_postings
        |FROM tok""".stripMargin
 
+  /** More-like-this: top-k documents most similar to a query DOCUMENT —
+    * the document-to-document retrieval a dedup/curation pipeline runs
+    * ("what else in the corpus looks like this eval sample"). The query
+    * doc's terms are ranked rarest-first — (df asc, tf desc, term asc),
+    * all integers, so the selection is exact cross-engine without
+    * comparing float idf values — and the top `nSel` become a standard
+    * engine BM25 query; the query doc itself is excluded via the
+    * filtered-search predicate (global stats untouched, the reference's
+    * filtered-search semantics, index_dense.hpp:774-779).
+    *
+    * Scale shape: ONE row fetch (the query doc), driver-side tokenize of
+    * that single doc, ONE pruned dictionary read for its terms' dfs
+    * ([[Searcher.termDfs]]), then the normal pruned WAND search — the
+    * corpus is never re-tokenized to plan the query.
+    */
+  def engMoreLikeThis(spark: SparkSession, dir: String, qDoc: Long = 0L,
+      nSel: Int = 5, k: Int = K): DataFrame = {
+    val s = indexFor(spark, dir)
+    val text = docs(spark, dir).where(col("doc_id") === qDoc)
+      .select(col("text")).head().getString(0)
+    val tfq = Tokenizer.tokenize(text)
+      .groupBy(identity).map { case (t, xs) => t -> xs.length }
+    val dfs = s.termDfs(tfq.keys.toSeq.sorted)
+    val sel = tfq.keys.toSeq
+      .map(t => (dfs.getOrElse(t, 0L), -tfq(t), t))
+      .filter(_._1 > 0L)
+      .sorted
+      .take(nSel)
+      .map(_._3)
+    s.search(sel.mkString(" "), k, allow = Some((d: Long) => d != qDoc))
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** Oracle for [[engMoreLikeThis]]: the same rarest-first selection and
+    * BM25 math, with the selected terms as a CTE instead of a literal
+    * list (the oracle recomputes the selection, it is not told it).
+    */
+  def engMoreLikeThisSql(qDoc: Long = 0L, nSel: Int = 5, k: Int = K): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+       |              CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+       |qtf AS (SELECT term, tf FROM tf WHERE doc_id = $qDoc),
+       |dfq AS (SELECT term, count(*) AS df FROM tf
+       |        WHERE term IN (SELECT term FROM qtf) GROUP BY 1),
+       |sel AS (SELECT q.term, d.df FROM qtf q JOIN dfq d USING (term)
+       |        ORDER BY d.df, q.tf DESC, q.term LIMIT $nSel),
+       |scores AS (
+       |  SELECT tf.doc_id,
+       |         sum(${graft.query.Bm25.sqlScore("tf.tf", "sel.df", "dl.dl", "st.n", "st.avgdl")}) AS score_raw
+       |  FROM tf JOIN sel USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       |  WHERE tf.doc_id <> $qDoc
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, round(score_raw, 4) AS score
+       |FROM scores ORDER BY score_raw DESC, doc_id LIMIT $k""".stripMargin
+
   /** Multi-generation scatter-gather (the `Indexes` analog): the corpus
     * split into two disjoint generations, searched with shared global
     * stats, merged — must match the same single-corpus SQL oracle.

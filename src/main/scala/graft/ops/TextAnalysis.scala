@@ -253,4 +253,75 @@ object TextAnalysis {
        |FROM rep r JOIN q USING (doc_id)
        |WHERE q.quality_bp >= $minQualityBp
        |ORDER BY r.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // benchmark-contamination phrase scan
+  // ------------------------------------------------------------------
+
+  /** Fixed probe phrases for the driver entry: two present at every
+    * scale, one absent at the smallest, one whose terms never enter the
+    * dictionary (the candidate-pruning canary).
+    */
+  final val ContaminationProbes: Seq[String] = Seq(
+    "key agg row",
+    "merge batch part",
+    "table window table",
+    "quantum flux capacitor")
+
+  /** Benchmark-contamination scan: which documents contain which probe
+    * PHRASES as a verbatim token sequence — the decontamination pass a
+    * training pipeline runs before any eval (find eval/benchmark strings
+    * inside the corpus).
+    *
+    * Scale shape: candidates come from the INDEX, never a corpus scan —
+    * one pruned segments read ([[graft.index.Searcher.postingDocIds]]:
+    * `term IN (...)` pushdown + dictionary bucket filter) decodes only
+    * the probe terms' posting lists; a doc is a candidate for a probe iff
+    * it holds EVERY distinct term of that probe (count-distinct
+    * intersection, map-side partial agg). Only candidates are joined back
+    * to the corpus (small side broadcast) and verified with an exact
+    * token-sequence substring match. A probe with an unindexed term dies
+    * at query planning — zero postings touched.
+    */
+  def contamination(spark: SparkSession, dir: String,
+      probes: Seq[String] = ContaminationProbes): DataFrame = {
+    import spark.implicits._
+    val s = Fulltext.indexFor(spark, dir)
+    val probeTerms: Seq[(Int, String, Seq[String])] = probes.zipWithIndex.map {
+      case (p, i) => (i, p, Tokenizer.tokenize(p).distinct.toSeq)
+    }
+    val allTerms = probeTerms.flatMap(_._3).distinct.sorted
+    val termDocs = s.postingDocIds(allTerms)
+    val probeTermRows = broadcast(
+      probeTerms.flatMap { case (i, _, ts) => ts.map(t => (i, t, ts.size)) }
+        .toDF("probe_id", "term", "n_terms"))
+    val candidates = termDocs.join(probeTermRows, "term")
+      .groupBy(col("probe_id"), col("doc_id"), col("n_terms"))
+      .agg(countDistinct(col("term")).as("nt"))
+      .where(col("nt") === col("n_terms"))
+      .select(col("probe_id"), col("doc_id"))
+    val probeText = broadcast(
+      probeTerms.map { case (i, p, _) => (i, p) }.toDF("probe_id", "probe"))
+    candidates
+      .join(docs(spark, dir).select(col("doc_id"), col("text")), "doc_id")
+      .join(probeText, "probe_id")
+      .where(concat(lit(" "),
+        array_join(Tokenizer.tokensCol(col("text")), " "), lit(" "))
+        .contains(concat(lit(" "), col("probe"), lit(" "))))
+      .select(col("probe_id"), col("doc_id"))
+      .orderBy(col("probe_id"), col("doc_id"))
+  }
+
+  def contaminationSql(probes: Seq[String] = ContaminationProbes): String = {
+    val values = probes.zipWithIndex
+      .map { case (p, i) => s"($i, '$p')" }.mkString(", ")
+    s"""WITH probes(probe_id, probe) AS (VALUES $values),
+       |norm AS (SELECT doc_id,
+       |  array_to_string(${Tokenizer.duckdbTokensSql("text")}, ' ') AS ntext
+       |  FROM documents)
+       |SELECT p.probe_id, n.doc_id
+       |FROM probes p JOIN norm n
+       |  ON contains(' ' || n.ntext || ' ', ' ' || p.probe || ' ')
+       |ORDER BY p.probe_id, n.doc_id""".stripMargin
+  }
 }
