@@ -67,6 +67,7 @@ object SparkEntry {
     "sim_recall_b1" -> Similarity.recallB1 _,
     "sim_knn_b1_refine" -> ((s: SparkSession, d: String) => Similarity.knnB1Refine(s, d)),
     "sim_recall_b1_refine" -> Similarity.recallB1Refine _,
+    "sim_ndcg_b1" -> Similarity.ndcgB1 _,
     "sim_knn_f16" -> ((s: SparkSession, d: String) => Similarity.knnF16(s, d)),
     "sim_recall_f16" -> Similarity.recallF16 _,
     "sim_knn_bf16" -> ((s: SparkSession, d: String) => Similarity.knnBf16(s, d)),
@@ -96,6 +97,7 @@ object SparkEntry {
       Similarity.ivfKnnMany(s, d, nQueries = 5, k = 10, nlist = 8, nprobe = 8)),
     "sim_ivf_knn_filtered" -> ((s: SparkSession, d: String) =>
       Similarity.ivfKnn(s, d, k = 10, nlist = 8, nprobe = 8, labelFilter = Some(3))),
+    "sim_ivf_add" -> ((s: SparkSession, d: String) => Similarity.ivfAddKnn(s, d)),
     // engine clustering + stable-marriage join, both with FULL SQL
     // oracles (the determinism discipline makes the iterations
     // expressible: unrolled CTEs / a recursive CTE)
@@ -169,6 +171,7 @@ object SparkEntry {
     "sim_ivf_knn" -> Similarity.knnExactSql(),
     "sim_ivf_knn_batch" -> Similarity.knnExactManySql(),
     "sim_ivf_knn_filtered" -> Similarity.knnExactSql(labelFilter = Some(3)),
+    "sim_ivf_add" -> Similarity.knnExactSql(queryVecId = 450L),
     "eng_kmeans" -> Similarity.kmeansAssignSql,
     "eng_semantic_join" -> Similarity.semanticJoinSql,
     "eng_semantic_join_ann" -> Similarity.semanticJoinAnnSql,
@@ -180,6 +183,7 @@ object SparkEntry {
     "sim_recall_b1" -> Similarity.recallB1Sql,
     "sim_knn_b1_refine" -> Similarity.knnB1RefineSql(),
     "sim_recall_b1_refine" -> Similarity.recallB1RefineSql,
+    "sim_ndcg_b1" -> Similarity.ndcgB1Sql,
     "sim_knn_f16" -> Similarity.knnF16Sql(),
     "sim_recall_f16" -> Similarity.recallF16Sql,
     "sim_knn_bf16" -> Similarity.knnBf16Sql(),

@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
+  /** Fixed-point NDCG discount table: `DiscountMicros(r-1)` =
+    * round(10⁶ / log₂(r+1)) for rank r — the SAME integer literals are
+    * embedded in both the Scala computation and the DuckDB oracle SQL,
+    * so NDCG comparisons never depend on two engines' `log` agreeing in
+    * the last ulp.
+    */
+  final val DiscountMicros: IndexedSeq[Long] =
+    (1 to 100).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
   /** recall@k of `got` vs `expected` (both top-k id sets): fraction of
     * expected ids present anywhere in got.
     */

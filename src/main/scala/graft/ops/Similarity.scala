@@ -40,9 +40,9 @@ object Similarity {
     * partial top-k + single ordered merge, the distributed `merge_into`).
     */
   def knnExact(spark: SparkSession, dir: String, k: Int = 10,
-      labelFilter: Option[Int] = None): DataFrame = {
+      labelFilter: Option[Int] = None, queryVecId: Long = 0L): DataFrame = {
     val e = emb(spark, dir)
-    val q = broadcast(e.where(col("vec_id") === 0)
+    val q = broadcast(e.where(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_embedding")))
     val base = labelFilter.map(l => e.where(col("label") === l)).getOrElse(e)
     base.crossJoin(q)
@@ -52,9 +52,10 @@ object Similarity {
       .select(col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
   }
 
-  def knnExactSql(k: Int = 10, labelFilter: Option[Int] = None): String = {
+  def knnExactSql(k: Int = 10, labelFilter: Option[Int] = None,
+      queryVecId: Long = 0L): String = {
     val where = labelFilter.map(l => s"WHERE label = $l").getOrElse("")
-    s"""WITH q AS (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = 0)
+    s"""WITH q AS (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = $queryVecId)
        |SELECT vec_id, round(${cosineSql("embedding", "q_embedding")}, 6) AS cos_sim
        |FROM embeddings, q $where
        |ORDER BY ${cosineSql("embedding", "q_embedding")} DESC, vec_id
@@ -315,6 +316,49 @@ object Similarity {
        |SELECT 10 AS k, CAST(count(*) * 1000 AS BIGINT) AS recall_bp
        |FROM rf JOIN ex USING (vec_id)""".stripMargin
 
+  /** NDCG@10 of the b1 ranking vs the f64 exact ranking, in integer
+    * basis points — the rank-quality half of the per-dtype table (recall
+    * counts hits; NDCG weighs WHERE they landed,
+    * [[graft.eval.Eval.DiscountMicros]] fixed-point discounts so the
+    * DuckDB twin shares the exact integer constants instead of trusting
+    * two engines' `log` to agree). Binary relevance: a b1 hit at rank r
+    * earns discount(r); ideal DCG packs the hits at the top.
+    */
+  def ndcgB1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b1Ids = knnB1(spark, dir).select("vec_id").collect().map(_.getLong(0))
+    val exactIds = knnExact(spark, dir).select("vec_id").collect().map(_.getLong(0)).toSet
+    val hitRanks = b1Ids.zipWithIndex.collect { case (id, i) if exactIds(id) => i + 1 }
+    val dcg = hitRanks.map(r => graft.eval.Eval.DiscountMicros(r - 1)).sum
+    val idcg = (1 to hitRanks.length).map(r => graft.eval.Eval.DiscountMicros(r - 1)).sum
+    val bp = if (idcg == 0L) 0L else (20000L * dcg + idcg) / (2L * idcg)
+    Seq((10, bp)).toDF("k", "ndcg_bp")
+  }
+
+  def ndcgB1Sql: String = {
+    val disc = (1 to 10)
+      .map(r => s"($r, ${graft.eval.Eval.DiscountMicros(r - 1)})").mkString(", ")
+    s"""WITH qe AS (SELECT vec_id, ${graft.functions.Quantize.b1Sql("embedding")} AS bv FROM embeddings),
+       |q AS (SELECT bv AS qv FROM qe WHERE vec_id = 0),
+       |b1 AS (SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) AS rnk
+       |       FROM (SELECT vec_id, ${hammingWordsSql("bv", "qv")} AS h
+       |             FROM qe, q ORDER BY h, vec_id LIMIT 10)),
+       |qx AS (SELECT embedding AS xq FROM embeddings WHERE vec_id = 0),
+       |ex AS (SELECT vec_id FROM embeddings, qx
+       |       ORDER BY ${cosineSql("embedding", "xq")} DESC, vec_id LIMIT 10),
+       |disc(rnk, d) AS (VALUES $disc),
+       |hits AS (SELECT b1.rnk FROM b1 JOIN ex USING (vec_id)),
+       |dv AS (SELECT CAST(coalesce(sum(d.d), 0) AS BIGINT) AS dcg
+       |       FROM hits JOIN disc d ON d.rnk = hits.rnk),
+       |n AS (SELECT count(*) AS c FROM hits),
+       |iv AS (SELECT CAST(coalesce(sum(d.d), 0) AS BIGINT) AS idcg
+       |       FROM disc d, n WHERE d.rnk <= n.c)
+       |SELECT 10 AS k,
+       |  CASE WHEN iv.idcg = 0 THEN 0
+       |       ELSE (20000 * dv.dcg + iv.idcg) // (2 * iv.idcg) END AS ndcg_bp
+       |FROM dv, iv""".stripMargin
+  }
+
   /** Batched multi-query exact kNN — the embedding-side `searchMany`
     * (the reference's `exact_search_t` scores MANY queries in one pass,
     * /root/reference/include/usearch/index_plugins.hpp:2071-2164): one
@@ -444,13 +488,16 @@ object Similarity {
     */
   final case class IvfIndex(centroids: DataFrame, assignments: DataFrame)
 
-  def ivfIndexFor(spark: SparkSession, dir: String, nlist: Int = 8): IvfIndex = {
+  def ivfIndexFor(spark: SparkSession, dir: String, nlist: Int = 8,
+      maxId: Option[Long] = None): IvfIndex = {
     import java.nio.file.{Files, Paths}
     val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
-    val root = s"${sys.props("java.io.tmpdir")}/graft-ivf-$key-n$nlist"
+    val suffix = maxId.map(m => s"-lt$m").getOrElse("")
+    val root = s"${sys.props("java.io.tmpdir")}/graft-ivf-$key-n$nlist$suffix"
     val marker = Paths.get(root, "_committed")
     if (!Files.exists(marker)) {
-      val pts = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val pts0 = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val pts = maxId.map(m => pts0.where(col("id") < m)).getOrElse(pts0)
       val km = graft.index.KMeans.fit(spark, pts, k = nlist, iterations = 2)
       km.centroids.write.mode("overwrite").parquet(s"$root/centroids")
       // assignments partitioned BY CELL: a probe reads only its cells'
@@ -561,6 +608,53 @@ object Similarity {
       .select(col("query_id"), (col("rnk0") + 1).as("rank"),
         col("h.id").as("vec_id"), round(col("h.score"), 6).as("cos_sim"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Incremental IVF add — the reference's add-then-search lifecycle
+    * (`index.add(key, vector)` then immediately searchable,
+    * /root/reference/include/usearch/index_dense.hpp:779-817) on the IVF
+    * structure: vectors arriving AFTER the index was built are assigned
+    * to the EXISTING persisted centroids with one broadcast argmin
+    * (l2sq asc, cid asc — the same rule the builder's k-means used), no
+    * recluster, no touch of the resident assignments. At 10⁹ vectors an
+    * add-batch costs O(batch · nlist) distances and appends to the
+    * arriving cells' partitions only.
+    */
+  def ivfAddAssignments(spark: SparkSession, dir: String,
+      nlist: Int = 8, splitId: Long = 400L): DataFrame = {
+    val ivf = ivfIndexFor(spark, dir, nlist, maxId = Some(splitId))
+    val added = emb(spark, dir).where(col("vec_id") >= splitId)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+    def l2sq(v: Column, c: Column): Column =
+      dot(v, v) - lit(2.0) * dot(v, c) + dot(c, c)
+    added.crossJoin(broadcast(ivf.centroids.select(col("cid"), col("cvec"))))
+      .select(col("id"),
+        struct(l2sq(col("vec"), col("cvec")).as("dist"), col("cid").as("cid")).as("dc"))
+      .groupBy(col("id"))
+      .agg(min(col("dc")).as("m"))
+      .select(col("id"), col("m.cid").as("cid"))
+  }
+
+  /** Search over base ∪ incrementally-added vectors at full probe, query
+    * taken from the ADDED batch — proves added vectors are immediately
+    * searchable through the IVF machinery and ranked exactly (full probe
+    * must reproduce the brute-force oracle; partial-probe recall and
+    * assignment parity are pinned in IvfSpec).
+    */
+  def ivfAddKnn(spark: SparkSession, dir: String, k: Int = 10,
+      nlist: Int = 8, splitId: Long = 400L, queryVecId: Long = 450L): DataFrame = {
+    val ivf = ivfIndexFor(spark, dir, nlist, maxId = Some(splitId))
+    val combined = ivf.assignments.select(col("id"), col("cid"))
+      .union(ivfAddAssignments(spark, dir, nlist, splitId))
+    val q = broadcast(emb(spark, dir).where(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_embedding")))
+    combined.select(col("id").as("vec_id"))
+      .join(emb(spark, dir), "vec_id")
+      .crossJoin(q)
+      .select(col("vec_id"), cosine(col("embedding"), col("q_embedding")).as("cos_raw"))
+      .orderBy(desc("cos_raw"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
   }
 
   final val KmeansK = 8

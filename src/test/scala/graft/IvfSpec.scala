@@ -47,6 +47,38 @@ class IvfSpec extends SparkSpec {
       s"non-label-3 ids leaked: ${partial.map(_._1).toSeq}")
   }
 
+  test("incremental add: argmin parity and added vectors searchable exactly") {
+    import graft.functions.DotProduct.{dot => ddot}
+    val split = 400L
+    val ivf = Similarity.ivfIndexFor(spark, dir, nlist = 8, maxId = Some(split))
+    val cents = ivf.centroids.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    // brute-force (l2sq asc, cid asc) argmin over the persisted centroids
+    val expected = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where($"vec_id" >= split)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val best = cents.map { case (cid, c) =>
+          (ddot(v, v) - 2.0 * ddot(v, c) + ddot(c, c), cid)
+        }.min
+        r.getLong(0) -> best._2
+      }.toMap
+    val got = Similarity.ivfAddAssignments(spark, dir, nlist = 8, splitId = split)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.values.toSet.size > 1, "all added vectors fell in one cell — vacuous")
+    // base index never saw the added ids
+    val baseIds = ivf.assignments.select($"id").as[Long].collect().toSet
+    assert(baseIds.forall(_ < split))
+    // full-probe search from the added batch reproduces brute-force exact
+    val addKnn = Similarity.ivfAddKnn(spark, dir).as[(Long, Double)].collect().toSeq
+    val exact = Similarity.knnExact(spark, dir, queryVecId = 450L)
+      .as[(Long, Double)].collect().toSeq
+    assert(addKnn == exact)
+  }
+
   test("batched IVF equals per-query IVF at nprobe < nlist") {
     val nQ = 3
     val batch = Similarity.ivfKnnMany(spark, dir, nQueries = nQ, k = 10,
