@@ -84,6 +84,7 @@ object SparkEntry {
       Similarity.knnWithMetric(s, d, graft.functions.Metric.Cos)),
     "mv_count" -> MultiVector.mvCount _,
     "mv_distance" -> MultiVector.mvDistance _,
+    "mv_knn" -> ((s: SparkSession, d: String) => MultiVector.mvKnn(s, d)),
     "sim_pairwise" -> Similarity.pairwiseDistance _,
     "sim_cluster_assign" -> Similarity.clusterAssign _,
     "sim_emb_neardup" -> ((s: SparkSession, d: String) => Similarity.embNearDup(s, d)),
@@ -198,6 +199,7 @@ object SparkEntry {
     "sim_knn_metric" -> Similarity.knnWithMetricCosSql(),
     "mv_count" -> MultiVector.mvCountSql,
     "mv_distance" -> MultiVector.mvDistanceSql,
+    "mv_knn" -> MultiVector.mvKnnSql(),
     "dd_exact" -> Dedup.exactSql,
     "dd_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     "dd_minhash_lsh" -> Dedup.minhashLshSql(),

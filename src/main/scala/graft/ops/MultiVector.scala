@@ -68,6 +68,39 @@ object MultiVector {
        |FROM p GROUP BY 1, 2 ORDER BY left_key""".stripMargin
   }
 
+  /** Top-k KEYS under multi: each key ranked at its BEST (minimum)
+    * member distance to the query — searching a `multi = true` index
+    * returns a key once however many of its vectors land near the query
+    * (config index_dense.hpp:115-120; non-multi paths dedup on
+    * key lookups at index_dense.hpp:812,2007, multi keeps all vectors
+    * under one key and search surfaces the key's best hit). `min` per
+    * key is a map-side partial aggregate and the final ranking a
+    * `TakeOrderedAndProject` — one scan, shuffle O(keys · partitions).
+    * min over doubles is order-independent, so no accumulation-order
+    * discipline is needed; −0.0 normalized as usual.
+    */
+  def mvKnn(spark: SparkSession, dir: String, k: Int = 10,
+      queryVecId: Long = 0L): DataFrame = {
+    val e = mv(spark, dir)
+    val q = broadcast(e.where(col("vec_id") === queryVecId).select(col("v").as("qv")))
+    e.crossJoin(q)
+      .select(col("key"), (lit(1.0) - Similarity.cosine(col("v"), col("qv"))).as("d"))
+      .groupBy(col("key"))
+      .agg(min(col("d")).as("d_raw"))
+      .orderBy(asc("d_raw"), asc("key"))
+      .limit(k)
+      .select(col("key"), (round(col("d_raw"), 6) + lit(0.0)).as("dist"))
+  }
+
+  def mvKnnSql(k: Int = 10, queryVecId: Long = 0L): String = {
+    val cos = "list_dot_product(e.v,q.qv)/(sqrt(list_dot_product(e.v,e.v))*sqrt(list_dot_product(q.qv,q.qv)))"
+    s"""WITH $mvSqlCte,
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = $queryVecId),
+       |m AS (SELECT e.key, min(1.0 - $cos) AS d_raw FROM e, q GROUP BY e.key)
+       |SELECT key, round(d_raw, 6) + 0.0 AS dist
+       |FROM m ORDER BY d_raw, key LIMIT $k""".stripMargin
+  }
+
   /** `get(key, count)` under multi: the key's vectors, stable order. */
   def mvGet(spark: SparkSession, dir: String, key: Long): DataFrame =
     mv(spark, dir).where(col("key") === key)
