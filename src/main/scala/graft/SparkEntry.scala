@@ -135,6 +135,8 @@ object SparkEntry {
     // composite training-data curation: lang filter ∧ dedup rep ∧ quality
     "ta_curate" -> ((s: SparkSession, d: String) => TextAnalysis.curate(s, d)),
     "ta_contamination" -> ((s: SparkSession, d: String) => TextAnalysis.contamination(s, d)),
+    "ta_sample_stratified" -> ((s: SparkSession, d: String) => TextAnalysis.sampleStratified(s, d)),
+    "ta_token_budget" -> ((s: SparkSession, d: String) => TextAnalysis.tokenBudget(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -218,5 +220,7 @@ object SparkEntry {
     "ta_string_knn" -> TextAnalysis.stringKnnSql(),
     "ta_curate" -> TextAnalysis.curateSql(),
     "ta_contamination" -> TextAnalysis.contaminationSql(),
+    "ta_sample_stratified" -> TextAnalysis.sampleStratifiedSql(),
+    "ta_token_budget" -> TextAnalysis.tokenBudgetSql(),
   )
 }

@@ -255,6 +255,80 @@ object TextAnalysis {
        |ORDER BY r.doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // training-set construction: sampling + token-budget packing
+  // ------------------------------------------------------------------
+
+  /** Deterministic stratified sampling: keep a per-language fraction of
+    * the corpus chosen by a portable content hash — the quota/mixture
+    * sampling step of a training-data pipeline, reproducible with no RNG
+    * state and no shuffle (a pure filter evaluated at the scan; survives
+    * any re-partitioning or re-run bit-for-bit). Rates in basis points:
+    * `en` keeps 50%, every other stratum 20%.
+    */
+  def sampleStratified(spark: SparkSession, dir: String,
+      enBp: Long = 5000L, otherBp: Long = 2000L): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), (Dedup.hash32(col("text")) % 10000L).as("h"))
+      .where(col("h") < when(col("lang") === "en", enBp).otherwise(otherBp))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  def sampleStratifiedSql(enBp: Long = 5000L, otherBp: Long = 2000L): String =
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE ${Dedup.hash32Sql("text")} % 10000
+       |      < CASE WHEN lang = 'en' THEN $enBp ELSE $otherBp END
+       |ORDER BY doc_id""".stripMargin
+
+  /** Token-budget packing: per language stratum, keep the
+    * highest-quality documents until the stratum's token budget is
+    * exhausted — the mixing step that turns scored documents into a
+    * training set of a fixed token size. Cumulative token count is a
+    * windowed sum per stratum ordered (quality desc, doc_id asc);
+    * everything is integer arithmetic → exact cross-engine. At scale
+    * each stratum is one window partition — parallelism is bounded by
+    * the stratum count, the inherent shape of budgeted mixing (strata
+    * far larger than executor memory would pre-aggregate to
+    * (quality-bucket, token-sum) runs first).
+    */
+  def tokenBudget(spark: SparkSession, dir: String,
+      budgetTokens: Long = 3000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(desc("quality_bp"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    quality(spark, dir)
+      .join(docs(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budgetTokens)
+      .select(col("doc_id"), col("lang"), col("quality_bp"), col("cum_tokens"))
+      .orderBy(col("lang"), col("cum_tokens"))
+  }
+
+  def tokenBudgetSql(budgetTokens: Long = 3000L): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_unique,
+       |    CAST(sum(CASE WHEN term IN ($stopwordsSqlList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+       |  FROM tok GROUP BY doc_id),
+       |bp AS (
+       |  SELECT doc_id, n_tokens,
+       |    (20000 * n_stop + n_tokens) // (2 * n_tokens) AS stop_bp,
+       |    (20000 * n_unique + n_tokens) // (2 * n_tokens) AS div_bp,
+       |    least((20000 * n_tokens + 200) // 400, 10000) AS len_bp
+       |  FROM agg),
+       |q AS (SELECT doc_id, n_tokens,
+       |        (4 * len_bp + 3 * div_bp + 3 * (10000 - stop_bp) + 5) // 10 AS quality_bp
+       |      FROM bp),
+       |c AS (
+       |  SELECT q.doc_id, d.lang, q.quality_bp,
+       |    sum(q.n_tokens) OVER (PARTITION BY d.lang
+       |      ORDER BY q.quality_bp DESC, q.doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |  FROM q JOIN documents d USING (doc_id))
+       |SELECT doc_id, lang, quality_bp, CAST(cum_tokens AS BIGINT) AS cum_tokens
+       |FROM c WHERE cum_tokens <= $budgetTokens
+       |ORDER BY lang, cum_tokens""".stripMargin
+
+  // ------------------------------------------------------------------
   // benchmark-contamination phrase scan
   // ------------------------------------------------------------------
 
