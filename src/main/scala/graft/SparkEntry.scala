@@ -43,6 +43,7 @@ object SparkEntry {
     "eng_bm25_exact" -> Fulltext.engBm25Exact _,
     "eng_bm25_hot" -> Fulltext.engBm25Hot _,
     "eng_more_like_this" -> ((s: SparkSession, d: String) => Fulltext.engMoreLikeThis(s, d)),
+    "eng_more_like_this_many" -> ((s: SparkSession, d: String) => Fulltext.engMoreLikeThisMany(s, d)),
     "eng_bm25_multigen" -> Fulltext.engBm25MultiGen _,
     "eng_bm25_many" -> Fulltext.engBm25Many _,
     "eng_bm25_many_multigen" -> Fulltext.engBm25ManyMultiGen _,
@@ -154,6 +155,7 @@ object SparkEntry {
     "eng_bm25_exact" -> Fulltext.bm25TopKSql(),
     "eng_bm25_hot" -> Fulltext.bm25TopKSql(),
     "eng_more_like_this" -> Fulltext.engMoreLikeThisSql(),
+    "eng_more_like_this_many" -> Fulltext.engMoreLikeThisManySql(),
     "eng_bm25_multigen" -> Fulltext.bm25TopKSql(),
     "eng_bm25_many" -> Fulltext.bm25TopKManySql(),
     "eng_bm25_many_multigen" -> Fulltext.bm25TopKManySql(),

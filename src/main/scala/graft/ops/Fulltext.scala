@@ -314,6 +314,82 @@ object Fulltext {
        |SELECT doc_id, round(score_raw, 4) AS score
        |FROM scores ORDER BY score_raw DESC, doc_id LIMIT $k""".stripMargin
 
+  /** Fixed query-doc set for the batched more-like-this entry. */
+  final val MltQueryDocs: Seq[Long] = Seq(0L, 1L, 2L)
+
+  /** Batched more-like-this: one TAAT pass answers every query
+    * document's MLT query ([[Searcher.searchMany]] decodes each selected
+    * term once per bucket for the whole batch). Per-doc term selection is
+    * the same integer rarest-first rule as [[engMoreLikeThis]], planned
+    * from one bounded row fetch + one pruned dictionary read. Self
+    * exclusion uses k+1-then-drop: the engine's total order
+    * (score desc, doc_id asc) makes "top-(k+1), drop self, keep k"
+    * identical to "top-k over non-self docs" whether or not the query
+    * doc lands in the prefix.
+    */
+  def engMoreLikeThisMany(spark: SparkSession, dir: String,
+      qDocs: Seq[Long] = MltQueryDocs, nSel: Int = 5, k: Int = K): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = indexFor(spark, dir)
+    val texts = docs(spark, dir).where(col("doc_id").isin(qDocs: _*))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch: Seq[(Int, String)] = qDocs.zipWithIndex.map { case (qd, qi) =>
+      val tfq = Tokenizer.tokenize(texts(qd))
+        .groupBy(identity).map { case (t, xs) => t -> xs.length }
+      val dfs = s.termDfs(tfq.keys.toSeq.sorted)
+      val sel = tfq.keys.toSeq
+        .map(t => (dfs.getOrElse(t, 0L), -tfq(t), t))
+        .filter(_._1 > 0L).sorted.take(nSel).map(_._3)
+      (qi, sel.mkString(" "))
+    }
+    val selfIds = {
+      import spark.implicits._
+      broadcast(qDocs.zipWithIndex.map { case (qd, qi) => (qi, qd) }
+        .toDF("query_id", "self_id"))
+    }
+    // the re-rank window runs over ≤ (k+1) rows per query — final-result
+    // cosmetics, not a data-scale window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score_raw"), asc("doc_id"))
+    s.searchMany(batch, k + 1)
+      .withColumnRenamed("score", "score_raw")
+      .join(selfIds, "query_id")
+      .where(col("doc_id") =!= col("self_id"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score_raw"), 4).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle for [[engMoreLikeThisMany]]: per-query-doc MLT SQL (selection
+    * recomputed, self excluded, ranked) UNION ALL'd.
+    */
+  def engMoreLikeThisManySql(qDocs: Seq[Long] = MltQueryDocs,
+      nSel: Int = 5, k: Int = K): String =
+    qDocs.zipWithIndex.map { case (qd, qi) =>
+      s"""SELECT $qi AS query_id, CAST(rnk AS INT) AS rank, doc_id, round(score_raw, 4) AS score FROM (
+         |  WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+         |  tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |  dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |  st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         |                CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+         |  qtf AS (SELECT term, tf FROM tf WHERE doc_id = $qd),
+         |  dfq AS (SELECT term, count(*) AS df FROM tf
+         |          WHERE term IN (SELECT term FROM qtf) GROUP BY 1),
+         |  sel AS (SELECT q.term, d.df FROM qtf q JOIN dfq d USING (term)
+         |          ORDER BY d.df, q.tf DESC, q.term LIMIT $nSel)
+         |  SELECT tf.doc_id,
+         |         sum(${graft.query.Bm25.sqlScore("tf.tf", "sel.df", "dl.dl", "st.n", "st.avgdl")}) AS score_raw,
+         |         row_number() OVER (
+         |           ORDER BY sum(${graft.query.Bm25.sqlScore("tf.tf", "sel.df", "dl.dl", "st.n", "st.avgdl")}) DESC, tf.doc_id) AS rnk
+         |  FROM tf JOIN sel USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         |  WHERE tf.doc_id <> $qd
+         |  GROUP BY tf.doc_id) x
+         |WHERE rnk <= $k""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY query_id, rank")
+
   /** Multi-generation scatter-gather (the `Indexes` analog): the corpus
     * split into two disjoint generations, searched with shared global
     * stats, merged — must match the same single-corpus SQL oracle.
