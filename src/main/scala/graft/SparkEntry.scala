@@ -49,6 +49,7 @@ object SparkEntry {
     "eng_bm25_many_multigen" -> Fulltext.engBm25ManyMultiGen _,
     "eng_bm25_many_filtered" -> Fulltext.engBm25ManyFiltered _,
     "eng_stats" -> Fulltext.engStats _,
+    "eng_levels_stats" -> Fulltext.engLevelsStats _,
     // usearch key-API analogs
     "u_contains" -> UsearchOps.contains _,
     "u_count_key" -> UsearchOps.countKey _,
@@ -57,6 +58,7 @@ object SparkEntry {
     "u_stats" -> UsearchOps.stats _,
     "u_remove" -> UsearchOps.removeTombstones _,
     "u_rename" -> UsearchOps.rename _,
+    "u_get_dequantized" -> ((s: SparkSession, d: String) => Similarity.getDequantized(s, d)),
     // similarity search over embeddings
     "sim_knn_exact" -> ((s: SparkSession, d: String) => Similarity.knnExact(s, d)),
     "sim_knn_filtered" -> ((s: SparkSession, d: String) =>
@@ -131,6 +133,8 @@ object SparkEntry {
     "ta_levenshtein_bounded" -> ((s: SparkSession, d: String) =>
       TextAnalysis.levenshteinBoundedPairs(s, d)),
     "ta_hamming_str" -> TextAnalysis.hammingStrPairs _,
+    "ta_levenshtein_bytes" -> TextAnalysis.levenshteinBytesPairs _,
+    "ta_hamming_bytes" -> TextAnalysis.hammingBytesPairs _,
     // ranked string-metric search (top-k nearest strings by levenshtein)
     "ta_string_knn" -> ((s: SparkSession, d: String) => TextAnalysis.stringKnn(s, d)),
     // composite training-data curation: lang filter ∧ dedup rep ∧ quality
@@ -161,6 +165,7 @@ object SparkEntry {
     "eng_bm25_many_multigen" -> Fulltext.bm25TopKManySql(),
     "eng_bm25_many_filtered" -> Fulltext.bm25TopKManySql(docFilterSql = "tf.doc_id % 3 = 0"),
     "eng_stats" -> Fulltext.engStatsSql,
+    "eng_levels_stats" -> Fulltext.engLevelsStatsSql,
     "u_contains" -> UsearchOps.containsSql,
     "u_count_key" -> UsearchOps.countKeySql,
     "u_get" -> UsearchOps.getSql,
@@ -168,6 +173,7 @@ object SparkEntry {
     "u_stats" -> UsearchOps.statsSql,
     "u_remove" -> UsearchOps.removeTombstonesSql,
     "u_rename" -> UsearchOps.renameSql,
+    "u_get_dequantized" -> Similarity.getDequantizedSql(),
     "sim_knn_exact" -> Similarity.knnExactSql(),
     "sim_knn_filtered" -> Similarity.knnExactSql(labelFilter = Some(3)),
     "sim_pairwise" -> Similarity.pairwiseDistanceSql,
@@ -219,6 +225,8 @@ object SparkEntry {
     "ta_levenshtein" -> TextAnalysis.levenshteinPairsSql,
     "ta_levenshtein_bounded" -> TextAnalysis.levenshteinBoundedPairsSql(),
     "ta_hamming_str" -> TextAnalysis.hammingStrPairsSql,
+    "ta_levenshtein_bytes" -> TextAnalysis.levenshteinBytesPairsSql,
+    "ta_hamming_bytes" -> TextAnalysis.hammingBytesPairsSql,
     "ta_string_knn" -> TextAnalysis.stringKnnSql(),
     "ta_curate" -> TextAnalysis.curateSql(),
     "ta_contamination" -> TextAnalysis.contaminationSql(),

@@ -50,6 +50,7 @@ object IndexBuilder {
   final case class Layout(root: String) {
     def tokens: String = s"$root/tokens"
     def segments: String = s"$root/segments"
+    def positions: String = s"$root/positions"
     def doclens: String = s"$root/doclens"
     def dict: String = s"$root/dict"
     def stats: String = s"$root/stats"
@@ -240,6 +241,83 @@ object IndexBuilder {
     // lineage + metrics (Iceberg-style JSON metadata, driver-side)
     if (manifests.nonEmpty) Meta.appendManifest(root, manifests.toSeq)
     Meta.readStats(root)
+  }
+
+  /** Opt-in POSITIONS sidecar build — term positions per (term, bucket,
+    * doc), delta+varbyte blocks on the same 128-doc boundaries as the
+    * frequency segments ([[graft.codec.PositionCodec]]). A separate
+    * committed stage over a separate table so (a) existing indexes stay
+    * readable unchanged, (b) frequency-only queries never scan position
+    * bytes, (c) a resumed build skips it like any other stage. Enables
+    * index-only phrase/proximity queries (the reference's exact-text
+    * retrieval direction, /root/reference/README.md:3-4,
+    * /root/reference/cpp/test.cpp:982-1060).
+    *
+    * Same scale shape as the segments stage: ONE shuffle of the
+    * posexploded corpus straight to the write layout — (bucket,
+    * term-hash split) partitions, rows sorted (bucket, term, doc_id,
+    * pos), posting rows run-grouped from the sorted iterator. Requires a
+    * committed index at `root` (reads its pinned geometry).
+    */
+  def buildPositions(
+      spark: SparkSession,
+      corpus: DataFrame,
+      root: String,
+      idCol: String = "doc_id",
+      textCol: String = "content"): Unit = {
+    import spark.implicits._
+    val layout = Layout(root)
+    if (Files.exists(layout.statusFile("positions"))) return
+    val geomPath = Paths.get(root, "geometry.properties")
+    require(Files.exists(geomPath) && Files.exists(layout.statusFile("segments")),
+      s"buildPositions requires a committed index at $root")
+    val bucketSize = Files.readString(geomPath).linesIterator
+      .collectFirst { case l if l.startsWith("bucketSize=") => l.drop(11).toLong }
+      .getOrElse(throw new IllegalStateException(s"no bucketSize in $geomPath"))
+    val buckets = math.max(1,
+      spark.read.parquet(layout.doclens).select("bucket").distinct().count().toInt)
+    val t0 = System.nanoTime()
+    val nPart = math.max(buckets, spark.sessionState.conf.numShufflePartitions)
+    corpus
+      .select(col(idCol).as("doc_id"),
+        posexplode(Tokenizer.tokensCol(col(textCol))).as(Seq("pos", "term")))
+      .withColumn("bucket", (col("doc_id") / bucketSize).cast("int"))
+      .select($"term", $"bucket", $"doc_id", $"pos")
+      .repartition(nPart, col("bucket"), pmod(hash(col("term")),
+        lit(math.max(1, spark.sessionState.conf.numShufflePartitions / buckets))))
+      .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"), col("pos"))
+      .as[(String, Int, Long, Int)]
+      .mapPartitions { it =>
+        new Iterator[PosRow] {
+          private val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): PosRow = {
+            val head = buf.head
+            val (term, bucket) = (head._1, head._2)
+            val docIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val poss = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+            val cur = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var curDoc = Long.MinValue
+            while (buf.hasNext && buf.head._1 == term && buf.head._2 == bucket) {
+              val r = buf.next()
+              if (r._3 != curDoc) {
+                if (curDoc != Long.MinValue) { docIds += curDoc; poss += cur.toArray }
+                curDoc = r._3
+                cur.clear()
+              }
+              cur += r._4
+            }
+            docIds += curDoc; poss += cur.toArray
+            val ids = docIds.toArray
+            val blocks = graft.codec.PositionCodec.encodeBlocks(ids, poss.toArray)
+              .map { case (f, l, c, b) => PosBlock(f, l, c, b) }
+            PosRow(term, bucket, ids.length.toLong, blocks)
+          }
+        }
+      }
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(layout.positions)
+    Files.writeString(layout.statusFile("positions"),
+      s"elapsedMs=${(System.nanoTime() - t0) / 1000000L}")
   }
 
   /** Default (buckets, bucketSize) when the caller pins neither: bucket

@@ -30,7 +30,8 @@ import graft.query.Bm25
   * mirrors `index_search_config_t.exact`
   * (/root/reference/include/usearch/index.hpp:1436-1437).
   */
-final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = false)
+final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = false,
+    hotPostingsBudgetBytes: Long = Searcher.DefaultHotPostingsBudgetBytes)
   extends Serializable {
   import spark.implicits._
 
@@ -69,39 +70,57 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
   // query should cost ZERO Spark jobs — the distributed path's ~0.5 s
   // per-query floor is job launch, not scoring. All caches are bounded:
   // doclens is nDocs·16 B (the serving-mode premise is a bounded index),
-  // postings evict LRU under `hotPostingsBudgetBytes`.
+  // postings evict LRU under `hotPostingsBudgetBytes` (a constructor
+  // knob; default 256 MB), and the charge per term covers BOTH the
+  // encoded blocks and the worst-case decoded expansion (hotDecoded holds
+  // docId:8 + tf:4 per posting), so driver residency never exceeds the
+  // budget by the decode factor. searchHot is synchronized: concurrent
+  // serving queries share one access-ordered LRU + one byte account.
   private lazy val hotDoclens: Map[Int, DocLenRow] = {
     require(cacheHot, "searchHot requires a Searcher built with cacheHot = true")
     doclensDS.collect().map(d => d.bucket -> d).toMap
   }
-  private val hotPostingsBudgetBytes: Long = 256L << 20
   private var hotPostingsBytes: Long = 0L
   private val hotPostings =
     new java.util.LinkedHashMap[String, Array[PostingRow]](64, 0.75f, true)
   private val hotDecoded = new java.util.HashMap[(String, Int), graft.codec.Postings]()
 
+  /** Budget charge for one term's resident rows: encoded block bytes +
+    * per-block/row overhead + the decoded arrays hotDecoded will hold
+    * (12 B/posting: long docId + int tf). Charged up front — decode
+    * happens lazily but within the same residency lifetime.
+    */
+  private def hotRowCost(rows: Array[PostingRow]): Long =
+    rows.iterator.map(r =>
+      r.blocks.iterator.map(_.bytes.length.toLong + 40L).sum + 12L * r.df + 64L).sum
+
   private def hotRowsFor(terms: Seq[String]): Map[String, Array[PostingRow]] = {
     val missing = terms.filterNot(hotPostings.containsKey)
     if (missing.nonEmpty) {
       // ONE pruned read fetches every uncached term's rows (the only
-      // Spark job a cold term costs; warm terms cost none)
-      val fetched = spark.read.parquet(layout.segments).as[PostingRow]
-        .where($"term".isin(missing: _*))
-        .collect()
-        .groupBy(_.term)
+      // Spark job a cold term costs; warm terms cost none) — pruned by
+      // BOTH the term pushdown and the dictionary's bucket lists, same
+      // as the distributed path (a cold term never scans all buckets)
+      val missingBuckets = missing
+        .flatMap(t => hotDict.get(t).map(_.buckets.toSeq).getOrElse(Seq.empty)).distinct
+      val fetched =
+        if (missingBuckets.isEmpty) Map.empty[String, Array[PostingRow]]
+        else spark.read.parquet(layout.segments).as[PostingRow]
+          .where($"term".isin(missing: _*) && $"bucket".isin(missingBuckets: _*))
+          .collect()
+          .groupBy(_.term)
       missing.foreach { t =>
         val rows = fetched.getOrElse(t, Array.empty[PostingRow])
         hotPostings.put(t, rows)
-        hotPostingsBytes += rows.iterator.map(r =>
-          r.blocks.iterator.map(_.bytes.length.toLong + 40L).sum + 64L).sum
+        hotPostingsBytes += hotRowCost(rows)
       }
-      // LRU eviction keeps the resident postings under budget
+      // LRU eviction keeps the resident postings (encoded + decoded)
+      // under budget; the current query's terms are never evicted
       val it = hotPostings.entrySet().iterator()
       while (hotPostingsBytes > hotPostingsBudgetBytes && it.hasNext) {
         val e = it.next()
         if (!terms.contains(e.getKey)) {
-          hotPostingsBytes -= e.getValue.iterator.map(r =>
-            r.blocks.iterator.map(_.bytes.length.toLong + 40L).sum + 64L).sum
+          hotPostingsBytes -= hotRowCost(e.getValue)
           e.getValue.foreach(r => hotDecoded.remove((r.term, r.bucket)))
           it.remove()
         }
@@ -125,7 +144,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
       query: String,
       k: Int,
       exact: Boolean = false,
-      allow: Option[Long => Boolean] = None): Array[Hit] = {
+      allow: Option[Long => Boolean] = None): Array[Hit] = synchronized {
     val qTerms = Tokenizer.tokenize(query).distinct.sorted
     val local = qTerms.flatMap(t => hotDict.get(t).map(t -> _)).toMap
     val live = qTerms.filter(t => local.get(t).exists(_.df > 0L))
@@ -156,6 +175,27 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
   def memoryUsage(): DataFrame = {
     import spark.implicits._
     Meta.byteSizes(root).toDF("component", "files", "bytes")
+  }
+
+  /** `stats(level)` analog (/root/reference/include/usearch/index.hpp:
+    * 3133-3210 reports per-level node/edge stats): per-BUCKET breakdown
+    * of this index — (bucket, n_docs, n_tokens, n_terms, n_postings) —
+    * the table a user reads to spot skew or a lopsided generation. One
+    * column-pruned groupBy over segment-row METADATA (term/df only; the
+    * encoded blocks are never read) plus one pass over the doclens rows.
+    */
+  def levelsStats(): DataFrame = {
+    val segs = spark.read.parquet(layout.segments)
+      .select(col("bucket"), col("term"), col("df"))
+      .groupBy(col("bucket"))
+      .agg(countDistinct(col("term")).as("n_terms"), sum(col("df")).as("n_postings"))
+    val dls = doclensDS
+      .map(d => (d.bucket, d.docIds.length.toLong, d.lens.sum))
+      .toDF("bucket", "n_docs", "n_tokens")
+    dls.join(segs, "bucket")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        col("n_terms"), col("n_postings"))
+      .orderBy(col("bucket"))
   }
 
   /** Per-term df from this index's dictionary (tiny pruned read). */
@@ -201,6 +241,75 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
         Iterator.tabulate(p.size)(i => (row.term, p.docIds(i)))
       }
       .toDF("term", "doc_id")
+  }
+
+  /** Whether this index was built with the positions sidecar
+    * ([[IndexBuilder.buildPositions]]).
+    */
+  def hasPositions: Boolean =
+    java.nio.file.Files.exists(layout.statusFile("positions"))
+
+  /** Index-only PHRASE search, batched: for each (phrase_id, phrase),
+    * every document containing the phrase as a verbatim token sequence,
+    * with its occurrence count — answered from the positions sidecar
+    * alone, the corpus text is never read (the reference's exact-text
+    * retrieval direction, /root/reference/README.md:3-4,
+    * /root/reference/cpp/test.cpp:982-1060).
+    *
+    * Plan shape (scale-safe by the same argument as `search`):
+    * ONE pruned dictionary read plans everything; phrases with a
+    * dictionary-absent term die at planning (zero data jobs); candidate
+    * buckets per phrase = the INTERSECTION of its terms' bucket lists;
+    * one positions read pruned by term-IN pushdown + the union of those
+    * bucket sets; each bucket task decodes each needed term once and
+    * verifies positional adjacency doc-by-doc, driving the intersection
+    * from the bucket-sparsest term. Duplicate terms in a phrase
+    * ("table window table") are handled by offset lists. Overlapping
+    * occurrences each count (position arithmetic, not substring count).
+    *
+    * Returns DataFrame(phrase_id: Int, doc_id: Long, phrase_tf: Long)
+    * ordered (phrase_id, doc_id), rows only where phrase_tf > 0.
+    */
+  def phraseMany(phrases: Seq[(Int, String)]): DataFrame = {
+    require(hasPositions,
+      s"index at $root has no positions sidecar — run IndexBuilder.buildPositions first")
+    val empty = spark.emptyDataset[(Int, Long, Long)]
+      .toDF("phrase_id", "doc_id", "phrase_tf")
+    val qs: Seq[(Int, Array[String])] =
+      phrases.map { case (id, p) => (id, Tokenizer.tokenize(p)) }.filter(_._2.nonEmpty)
+    if (qs.isEmpty) return empty
+    val local = dictRows(qs.flatMap(_._2).distinct.sorted)
+    val live = qs.filter { case (_, ts) => ts.forall(t => local.get(t).exists(_.df > 0L)) }
+    if (live.isEmpty) return empty
+    val phraseBuckets: Map[Int, Set[Int]] = live.map { case (id, ts) =>
+      id -> ts.iterator.map(t => local(t).buckets.toSet).reduce(_ intersect _)
+    }.toMap
+    val buckets = phraseBuckets.values.flatten.toSeq.distinct
+    if (buckets.isEmpty) return empty
+    val liveTerms = live.flatMap(_._2).distinct
+    val qsB = spark.sparkContext.broadcast(live)
+    val pbB = spark.sparkContext.broadcast(phraseBuckets)
+    spark.read.parquet(layout.positions).as[PosRow]
+      .where($"term".isin(liveTerms: _*) && $"bucket".isin(buckets: _*))
+      .groupByKey(_.bucket)
+      .flatMapGroups { (bucket, it) =>
+        val rows = it.toArray
+        // one row per (term, bucket) is the same index invariant the TAAT
+        // paths assert — a violating merge artifact must fail loudly
+        val byTerm = rows.iterator.map(r =>
+          r.term -> graft.codec.PositionCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq)).toMap
+        if (byTerm.size != rows.length)
+          throw new IllegalStateException(
+            s"positions invariant violated in bucket $bucket: ${rows.length} rows, " +
+              s"${byTerm.size} terms")
+        qsB.value.iterator
+          .filter { case (id, _) => pbB.value(id).contains(bucket) }
+          .flatMap { case (id, ts) =>
+            Searcher.phraseHitsInBucket(ts, byTerm).map { case (d, n) => (id, d, n) }
+          }
+      }
+      .toDF("phrase_id", "doc_id", "phrase_tf")
+      .orderBy(col("phrase_id"), col("doc_id"))
   }
 
   /** Top-k search. Returns DataFrame(doc_id: Long, score: Double) ordered
@@ -390,6 +499,53 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
 
 object Searcher {
 
+  /** Verify a phrase inside one bucket given decoded positional postings.
+    * Emits (docId, occurrence count > 0) in ascending docId order of the
+    * DRIVING term's list — re-sorted by the caller's orderBy, so the
+    * driving-term choice (bucket-sparsest, a pure function of the data)
+    * cannot affect results. Each occurrence = a start position p with
+    * term k at p+k for every k (overlaps count; duplicate phrase terms
+    * are just two offsets into the same positions array).
+    */
+  private[index] def phraseHitsInBucket(
+      ts: Array[String],
+      byTerm: Map[String, graft.codec.PosPostings]): Iterator[(Long, Long)] = {
+    val distinctTs = ts.distinct
+    if (!distinctTs.forall(byTerm.contains)) return Iterator.empty
+    val maps: Map[String, java.util.HashMap[Long, Array[Int]]] =
+      distinctTs.iterator.map { t =>
+        val pp = byTerm(t)
+        val m = new java.util.HashMap[Long, Array[Int]](pp.size * 2)
+        var i = 0
+        while (i < pp.size) { m.put(pp.docIds(i), pp.positions(i)); i += 1 }
+        t -> m
+      }.toMap
+    val lead = byTerm(distinctTs.minBy(t => byTerm(t).size))
+    val others = distinctTs.map(maps)
+    val first = maps(ts(0))
+    Iterator.range(0, lead.size).flatMap { i =>
+      val docId = lead.docIds(i)
+      if (!others.forall(_.containsKey(docId))) Iterator.empty
+      else {
+        val starts = first.get(docId)
+        var n = 0L
+        var j = 0
+        while (j < starts.length) {
+          val p = starts(j)
+          var k = 1
+          var ok = true
+          while (ok && k < ts.length) {
+            if (java.util.Arrays.binarySearch(maps(ts(k)).get(docId), p + k) < 0) ok = false
+            k += 1
+          }
+          if (ok) n += 1L
+          j += 1
+        }
+        if (n > 0L) Iterator.single((docId, n)) else Iterator.empty
+      }
+    }
+  }
+
   /** Memory budget for one task's dense TAAT accumulator chunk. One
     * accumulator row costs 8·bucketDocs bytes; the default index geometry
     * bounds bucket width at 2²⁰ docs (IndexBuilder.MaxDefaultBucketWidth)
@@ -400,6 +556,15 @@ object Searcher {
     * in memory.
     */
   final val DefaultTaatBudgetBytes: Long = 32L << 20
+
+  /** Default driver-residency budget for the hot serving path's posting
+    * cache (encoded blocks + decoded arrays; see `hotRowCost`). A
+    * constructor knob because serving deployments size this to their
+    * heap — the EngineSpec eviction case pins that a budget too small to
+    * keep any term warm still returns bit-identical results (just
+    * re-fetches).
+    */
+  final val DefaultHotPostingsBudgetBytes: Long = 256L << 20
 
   /** Global per-query top-k merge of per-bucket partial results via the
     * bounded aggregate (same total order as a row_number window — score
@@ -461,11 +626,20 @@ object Searcher {
     val dLens = doclen.lens
     val nb = dIds.length
 
+    // one row per (term, bucket) is an index invariant — BOTH taat paths
+    // (the dense path's `pre` cache and the fallback's byTerm map) and
+    // the shared decode cache key by term alone, so a violating merge
+    // artifact must fail loudly, not silently keep one arbitrary row
+    val byTerm = rows.iterator.map(r => r.term -> r).toMap
+    if (byTerm.size != rows.length)
+      throw new IllegalStateException(
+        "index invariant violated: bucket holds more than one segment row " +
+          s"per term (${rows.length} rows, ${byTerm.size} terms)")
+
     if (8L * math.max(nb, 1) > budgetBytes) {
       // dense accumulation cannot fit one row — per-query WAND fallback
       // (bit-identical results; shared decode cache keeps the batch's
       // decode-once property)
-      val byTerm = rows.iterator.map(r => r.term -> r).toMap
       return queries.iterator.flatMap { case (qid, ts) =>
         val qRows = ts.flatMap(byTerm.get)
         if (qRows.isEmpty) Iterator.empty

@@ -35,6 +35,18 @@ final case class PostingRow(
   */
 final case class DocLenRow(bucket: Int, docIds: Array[Long], lens: Array[Long])
 
+/** One encoded positional block (graft.codec.PositionCodec layout). */
+final case class PosBlock(first: Long, last: Long, count: Int, bytes: Array[Byte])
+
+/** Positional postings of one term within one docId bucket — the opt-in
+  * positions SIDECAR table (`Layout.positions`), kept apart from
+  * [[PostingRow]] so frequency-only queries never read position bytes
+  * (Lucene's .doc/.pos separation). Self-contained (docIds re-encoded
+  * with the positions), so a phrase query costs ONE pruned read of this
+  * table, not a postings+positions join.
+  */
+final case class PosRow(term: String, bucket: Int, df: Long, blocks: Array[PosBlock])
+
 /** Dictionary: global df, global max tf-norm (WAND term UB), and the
   * ascending list of buckets holding the term — one pruned dictionary
   * read then answers BOTH "which terms exist / their UBs" and "which

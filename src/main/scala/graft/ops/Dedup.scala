@@ -64,17 +64,39 @@ object Dedup {
     * repeated ops neither stack duplicate-plan cache entries nor trip
     * "already cached" warnings.
     */
-  private val shingleCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  /** Cap on memoized (session, dir) plans per cache. A long-lived session
+    * scanning many corpora would otherwise accrete one cached plan per dir
+    * forever; eviction unpersists the Spark cache AND drops the handle
+    * (LRU by access). Small on purpose: each entry pins executor memory.
+    */
+  private[graft] var memoCacheCap: Int = 4
+
+  /** Access-ordered bounded memo map; evicted frames are unpersisted. */
+  private final class MemoLru
+    extends java.util.LinkedHashMap[(SparkSession, String), DataFrame](8, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean = {
+      val evict = size() > memoCacheCap
+      if (evict) e.getValue.unpersist()
+      evict
+    }
+  }
+
+  private val shingleCache = new MemoLru
 
   private def shingleTable(spark: SparkSession, dir: String): DataFrame = synchronized {
-    val df = shingleCache.getOrElseUpdate((spark, dir),
+    val df = shingleCache.computeIfAbsent((spark, dir), _ =>
       docs(spark, dir)
         .select(col("doc_id"), Tokenizer.tokensCol(col("text")).as("toks"))
         .select(col("doc_id"), explode(shinglesOfToks(col("toks"))).as("shingle"))
         .distinct())
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
     df
+  }
+
+  /** Test hook: number of memoized dirs currently resident (both caches). */
+  private[graft] def memoSizes: (Int, Int) = synchronized {
+    (shingleCache.size(), minhashCache.size())
   }
 
   // ------------------------------------------------------------------
@@ -178,11 +200,10 @@ object Dedup {
     * call would trip CacheManager "already cached" warnings (same
     * eviction-aware pattern as [[shingleTable]]).
     */
-  private val minhashCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private val minhashCache = new MemoLru
 
-  private def minhashTable(spark: SparkSession, dir: String): DataFrame = synchronized {
-    val df = minhashCache.getOrElseUpdate((spark, dir), minhashes(spark, dir))
+  private[graft] def minhashTable(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val df = minhashCache.computeIfAbsent((spark, dir), _ => minhashes(spark, dir))
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
     df
   }

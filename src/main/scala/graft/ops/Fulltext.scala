@@ -155,6 +155,55 @@ object Fulltext {
     new Searcher(spark, root, cacheHot)
   }
 
+  /** [[indexFor]] plus the positions sidecar ([[IndexBuilder
+    * .buildPositions]]) — the phrase-capable index. The sidecar is its
+    * own committed stage on the SAME root, so it amortizes across every
+    * phrase consumer (eng_phrase, the contamination scan) and across
+    * runs, and indexes without it keep working for every non-phrase
+    * query.
+    */
+  def positionalIndexFor(spark: SparkSession, dir: String): Searcher = {
+    val s = indexFor(spark, dir)
+    IndexBuilder.buildPositions(spark, docs(spark, dir), indexRoot(dir),
+      idCol = "doc_id", textCol = "text")
+    s
+  }
+
+  private def indexRoot(dir: String): String = {
+    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft-index-$key"
+  }
+
+  /** Index-only phrase search over the fixed probe phrases
+    * ([[TextAnalysis.ContaminationProbes]] — two present at every scale,
+    * one absent at sf0.001, one dictionary-absent): every (phrase, doc)
+    * containment with its occurrence count, answered from the positions
+    * sidecar without reading `documents.text`
+    * ([[graft.index.Searcher.phraseMany]]).
+    */
+  def engPhrase(spark: SparkSession, dir: String): DataFrame =
+    positionalIndexFor(spark, dir)
+      .phraseMany(TextAnalysis.ContaminationProbes.zipWithIndex.map(_.swap))
+
+  /** Oracle: occurrence counts by explicit position arithmetic over the
+    * tokenized docs (1-based list indexing; overlapping matches count —
+    * the same semantics as the positional index).
+    */
+  def engPhraseSql(probes: Seq[String] = TextAnalysis.ContaminationProbes): String = {
+    val selects = probes.zipWithIndex.map { case (p, i) =>
+      val ts = Tokenizer.tokenize(p)
+      val conds = ts.zipWithIndex
+        .map { case (t, k) => s"toks[i + $k] = '$t'" }.mkString(" AND ")
+      s"""SELECT $i AS phrase_id, doc_id,
+         |    CAST(len(list_filter(range(1, len(toks) + 2 - ${ts.length}), i -> $conds)) AS BIGINT) AS phrase_tf
+         |  FROM d""".stripMargin
+    }
+    s"""WITH d AS (SELECT doc_id, ${Tokenizer.duckdbTokensSql("text")} AS toks FROM documents)
+       |SELECT phrase_id, doc_id, phrase_tf FROM (
+       |${selects.mkString("\nUNION ALL\n")}
+       |) u WHERE phrase_tf > 0 ORDER BY phrase_id, doc_id""".stripMargin
+  }
+
   /** Engine WAND top-k; oracle = the same SQL as the declarative path. */
   def engBm25TopK(spark: SparkSession, dir: String): DataFrame = {
     val s = indexFor(spark, dir)
@@ -256,6 +305,45 @@ object Fulltext {
        |  count(DISTINCT term) AS n_terms,
        |  count(DISTINCT (doc_id, term)) AS total_postings
        |FROM tok""".stripMargin
+
+  /** Bucket width pinned for the levels-stats entry so the DuckDB oracle
+    * can recompute bucket ids (`doc_id // 256`) without knowing the
+    * session's parallelism (the default auto geometry depends on it).
+    */
+  final val LevelsBucketSize = 256L
+
+  /** Per-generation / per-bucket index statistics — the `stats(level)`
+    * analog (/root/reference/include/usearch/index.hpp:3133-3210 reports
+    * per-level node/edge/byte breakdowns; graft's levels are LSM
+    * generations × docId buckets). Two generations (doc_id parity) are
+    * built with a PINNED shared bucket width, then each index's
+    * [[graft.index.Searcher.levelsStats]] — one metadata-only groupBy —
+    * is union'd under its generation id. The oracle recomputes every
+    * count from the raw corpus.
+    */
+  def engLevelsStats(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val tmp = sys.props("java.io.tmpdir")
+    val d = docs(spark, dir)
+    Seq(0, 1).map { g =>
+      val root = s"$tmp/graft-lvl-$g-$key"
+      IndexBuilder.build(spark, d.where(col("doc_id") % 2 === g), root,
+        idCol = "doc_id", textCol = "text", fixedBucketSize = LevelsBucketSize)
+      new Searcher(spark, root).levelsStats()
+        .select(lit(g).as("generation"), col("bucket"), col("n_docs"),
+          col("n_tokens"), col("n_terms"), col("n_postings"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("generation"), col("bucket"))
+  }
+
+  val engLevelsStatsSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${graft.analyze.Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+       |SELECT CAST(doc_id % 2 AS INT) AS generation,
+       |  CAST(doc_id // $LevelsBucketSize AS INT) AS bucket,
+       |  count(DISTINCT doc_id) AS n_docs, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |  count(DISTINCT term) AS n_terms, count(*) AS n_postings
+       |FROM tf GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** More-like-this: top-k documents most similar to a query DOCUMENT —
     * the document-to-document retrieval a dedup/curation pipeline runs

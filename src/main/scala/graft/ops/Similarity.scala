@@ -88,6 +88,47 @@ object Similarity {
        |SELECT vec_id, round(${cosineSql("qv", "qq")}, 6) AS cos_sim
        |FROM qe, q ORDER BY ${cosineSql("qv", "qq")} DESC, vec_id LIMIT $k""".stripMargin
 
+  /** Dequantized `get` round-trip — the reference reconstructs stored
+    * quantized vectors on lookup (`get` dequantizes,
+    * /root/reference/include/usearch/index_dense.hpp:781-786, 2191+;
+    * round-trip contract tested at
+    * /root/reference/python/scripts/test_index.py:87-129): store i8,
+    * reconstruct via [[graft.functions.Quantize.fromI8]] (q/127 → unit
+    * sphere), and report per-vector reconstruction quality vs the
+    * normalized original — max elementwise error and the round-trip
+    * cosine. Every step is deterministic IEEE double arithmetic shared
+    * with the DuckDB twin (i8 longs exact, /127.0 exact-per-op, max is
+    * order-free), so the entry is hash-exact, not a tolerance check.
+    */
+  def getDequantized(spark: SparkSession, dir: String,
+      ids: Seq[Long] = Seq(1L, 5L, 10L, 99L)): DataFrame = {
+    val e = emb(spark, dir).where(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("qv", graft.functions.Quantize.i8(col("v")))
+      .withColumn("rv", graft.functions.Quantize.fromI8(col("qv")))
+      // magnitude materialized as a named column: referencing the dot
+      // expression inside the zip_with lambda would re-evaluate it per
+      // element (the O(dim²) lambda-inlining regression, CLAUDE.md)
+      .withColumn("mag", sqrt(dot(col("v"), col("v"))))
+    e.select(col("vec_id"),
+      (round(aggregate(
+        zip_with(col("rv"), col("v"), (r, x) => abs(r - x / col("mag"))),
+        lit(0.0), (acc, d) => greatest(acc, d)), 6) + 0.0).as("max_err"),
+      (round(cosine(col("rv"), col("v")), 6) + 0.0).as("cos_rt"))
+      .orderBy(col("vec_id"))
+  }
+
+  def getDequantizedSql(ids: Seq[Long] = Seq(1L, 5L, 10L, 99L)): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    ${graft.functions.Quantize.i8Sql("embedding")} AS qv,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS mag
+       |  FROM embeddings WHERE vec_id IN (${ids.mkString(", ")})),
+       |r AS (SELECT vec_id, v, mag, list_transform(qv, q -> q / 127.0) AS rv FROM e)
+       |SELECT vec_id,
+       |  round(list_max(list_transform(range(1, len(v) + 1), i -> abs(rv[i] - v[i] / mag))), 6) + 0.0 AS max_err,
+       |  round(${cosineSql("rv", "v")}, 6) + 0.0 AS cos_rt
+       |FROM r ORDER BY vec_id""".stripMargin
+
   /** recall@10 of the i8-quantized ranking vs the f64 exact ranking, in
     * integer basis points (the reference's recall-per-dtype table,
     * README.md:258-264, as a measurable driver entry).

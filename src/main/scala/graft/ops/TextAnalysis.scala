@@ -168,6 +168,59 @@ object TextAnalysis {
       |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
       |WHERE a.doc_id < 50 ORDER BY left_id""".stripMargin
 
+  /** Levenshtein over UTF-8 BYTES — the reference's
+    * `distance_levenshtein_bytes` vs `_unicode` distinction
+    * (/root/reference/sqlite/lib.cpp:209-335). The fixture makes byte and
+    * code-point sequences genuinely diverge by mapping 'a' → 'ä'
+    * (2 UTF-8 bytes) on both engines; Spark scores with the native
+    * byte-DP expression ([[graft.functions.ByteDistances]]), DuckDB's
+    * builtin levenshtein is already byte-based (levenshtein('ä','b')=2),
+    * so the oracle needs no adapter — and differs from the unicode entry
+    * ([[levenshteinPairs]]) wherever the 'a' counts differ.
+    */
+  def levenshteinBytesPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), translate(col("source"), "a", "ä").as("s"))
+    val a = d.where(col("doc_id") < 50)
+      .select(col("doc_id").as("left_id"), col("s").as("sa"))
+    val b = d.select(col("doc_id").as("right_id"), col("s").as("sb"))
+    a.join(b, col("right_id") === col("left_id") + 1)
+      .select(col("left_id"),
+        graft.functions.ByteDistances.levenshteinBytes(col("sa"), col("sb")).as("lev_bytes"))
+      .orderBy(col("left_id"))
+  }
+
+  val levenshteinBytesPairsSql: String =
+    """SELECT a.doc_id AS left_id,
+      |  levenshtein(translate(a.source, 'a', 'ä'), translate(b.source, 'a', 'ä')) AS lev_bytes
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |WHERE a.doc_id < 50 ORDER BY left_id""".stripMargin
+
+  /** Hamming over UTF-8 BYTES (`distance_hamming_bytes`,
+    * /root/reference/sqlite/lib.cpp:209-335). Equal byte length comes
+    * from mapping every md5 hex char to a 2-byte char; the mixed
+    * Cyrillic/Greek alphabet makes some char substitutions cost 1 byte
+    * and others 2 — the value a code-point hamming cannot produce.
+    */
+  def hammingBytesPairs(spark: SparkSession, dir: String): DataFrame = {
+    val wide = translate(md5(col("text")), "0123456789abcdef", "абвгдежзαβγδεζηθ")
+    val d = docs(spark, dir).select(col("doc_id"), wide.as("fp"))
+    val a = d.where(col("doc_id") < 50)
+      .select(col("doc_id").as("left_id"), col("fp").as("fa"))
+    val b = d.select(col("doc_id").as("right_id"), col("fp").as("fb"))
+    a.join(b, col("right_id") === col("left_id") + 1)
+      .select(col("left_id"),
+        graft.functions.ByteDistances.hammingBytes(col("fa"), col("fb")).as("hamming_bytes"))
+      .orderBy(col("left_id"))
+  }
+
+  val hammingBytesPairsSql: String =
+    """SELECT a.doc_id AS left_id,
+      |  hamming(translate(md5(a.text), '0123456789abcdef', 'абвгдежзαβγδεζηθ'),
+      |          translate(md5(b.text), '0123456789abcdef', 'абвгдежзαβγδεζηθ')) AS hamming_bytes
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |WHERE a.doc_id < 50 ORDER BY left_id""".stripMargin
+
   /** Ranked string-metric search: top-k nearest strings to a query under
     * Levenshtein edit distance (asc, doc_id asc) — the reference indexes
     * strings under Levenshtein and answers top-k nearest-string queries
@@ -282,23 +335,46 @@ object TextAnalysis {
   /** Token-budget packing: per language stratum, keep the
     * highest-quality documents until the stratum's token budget is
     * exhausted — the mixing step that turns scored documents into a
-    * training set of a fixed token size. Cumulative token count is a
-    * windowed sum per stratum ordered (quality desc, doc_id asc);
-    * everything is integer arithmetic → exact cross-engine. At scale
-    * each stratum is one window partition — parallelism is bounded by
-    * the stratum count, the inherent shape of budgeted mixing (strata
-    * far larger than executor memory would pre-aggregate to
-    * (quality-bucket, token-sum) runs first).
+    * training set of a fixed token size. All integer arithmetic → exact
+    * cross-engine.
+    *
+    * Scale shape (two-level — a stratum is NEVER one window partition):
+    * quality_bp is an integer in [0, 10000], so level 1 collapses each
+    * stratum to ≤ 10001 (lang, quality_bp) → sum(n_tokens) run rows and
+    * takes the cumulative threshold over THOSE (a bounded window). Runs
+    * that start at or past the budget are pruned before any per-doc
+    * work, so level 2's per-doc running sums — windows partitioned by
+    * (lang, quality_bp), seeded with the run's prefix offset — see only
+    * the kept prefix: ≈ budget-many tokens plus the single boundary run,
+    * independent of corpus size. Equivalent by construction to one
+    * stratum-wide window ordered (quality desc, doc_id asc), because
+    * within a run that order IS doc_id asc ([[graft.TextAnalysisSpec]]
+    * pins two-level ≡ windowed).
     */
   def tokenBudget(spark: SparkSession, dir: String,
       budgetTokens: Long = 3000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(desc("quality_bp"), asc("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    quality(spark, dir)
+    val q = quality(spark, dir)
       .join(docs(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("quality_bp"), col("n_tokens"))
+    // level 1: bounded run table + cumulative threshold over ≤ 10001
+    // rows per stratum; runs wholly past the budget never leave here
+    val wRun = Window.partitionBy(col("lang"))
+      .orderBy(desc("quality_bp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bounds = q.groupBy(col("lang"), col("quality_bp"))
+      .agg(sum(col("n_tokens")).as("run_tokens"))
+      .withColumn("run_cum", sum(col("run_tokens")).over(wRun))
+      .where(col("run_cum") - col("run_tokens") < budgetTokens)
+      .select(col("lang"), col("quality_bp"),
+        (col("run_cum") - col("run_tokens")).as("run_prev"))
+    // level 2: per-doc cum only within each kept run (window partition =
+    // (lang, quality_bp); input bounded by the budget, see scaladoc)
+    val wDoc = Window.partitionBy(col("lang"), col("quality_bp"))
+      .orderBy(asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q.join(bounds, Seq("lang", "quality_bp"))
+      .withColumn("cum_tokens", col("run_prev") + sum(col("n_tokens")).over(wDoc))
       .where(col("cum_tokens") <= budgetTokens)
       .select(col("doc_id"), col("lang"), col("quality_bp"), col("cum_tokens"))
       .orderBy(col("lang"), col("cum_tokens"))

@@ -154,6 +154,23 @@ class EngineSpec extends SparkSpec {
       hits(searcher5.searchExact(q, 10)).toSeq)
   }
 
+  test("searchHot under a starvation budget: eviction churns, results stay bit-identical") {
+    // a budget too small to keep ANY term resident forces a fetch+evict
+    // cycle every query — the worst case for the LRU accounting (encoded
+    // + decoded charge, hotDecoded invalidation) — and must only cost
+    // latency, never correctness
+    val root = Files.createTempDirectory("graft-idx-hot-tiny-").toString
+    val indexed = spark.range(0, nDocs).map(i => (i, CorpusGen.genDoc(42L, i).content))
+      .toDF("doc_id", "content")
+    IndexBuilder.build(spark, indexed, root, targetBuckets = 5)
+    val tiny = new Searcher(spark, root, cacheHot = true, hotPostingsBudgetBytes = 1L)
+    for (_ <- 1 to 2)
+      CorpusGen.querySet(10).foreach { case (qid, q) =>
+        val got = tiny.searchHot(q, 10).map(h => (h.docId, h.score)).toSeq
+        assert(got == hits(searcher5.search(q, 10)).toSeq, s"q$qid '$q'")
+      }
+  }
+
   test("taatBucket honors the memory budget: chunked and WAND-fallback paths equal the default") {
     // 300 docs / 5 buckets → 60 docs/bucket → one accumulator row = 480
     // bytes. A 960-byte budget forces chunk = 2 (exercises the chunk
