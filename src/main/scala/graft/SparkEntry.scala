@@ -50,6 +50,7 @@ object SparkEntry {
     "eng_bm25_many_filtered" -> Fulltext.engBm25ManyFiltered _,
     "eng_stats" -> Fulltext.engStats _,
     "eng_levels_stats" -> Fulltext.engLevelsStats _,
+    "eng_phrase" -> Fulltext.engPhrase _,
     // usearch key-API analogs
     "u_contains" -> UsearchOps.contains _,
     "u_count_key" -> UsearchOps.countKey _,
@@ -166,6 +167,7 @@ object SparkEntry {
     "eng_bm25_many_filtered" -> Fulltext.bm25TopKManySql(docFilterSql = "tf.doc_id % 3 = 0"),
     "eng_stats" -> Fulltext.engStatsSql,
     "eng_levels_stats" -> Fulltext.engLevelsStatsSql,
+    "eng_phrase" -> Fulltext.engPhraseSql(),
     "u_contains" -> UsearchOps.containsSql,
     "u_count_key" -> UsearchOps.countKeySql,
     "u_get" -> UsearchOps.getSql,

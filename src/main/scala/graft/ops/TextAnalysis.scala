@@ -432,8 +432,31 @@ object TextAnalysis {
     * to the corpus (small side broadcast) and verified with an exact
     * token-sequence substring match. A probe with an unindexed term dies
     * at query planning — zero postings touched.
+    *
+    * Default path (round 5): verification moved INTO the index — the
+    * positions sidecar answers the whole scan via
+    * [[graft.index.Searcher.phraseMany]] (dictionary-planned bucket
+    * intersection, pruned positional reads, positional-adjacency verify),
+    * so `documents.text` is never read at all. `usePositions = false`
+    * keeps the candidates + text-substring verify for indexes built
+    * without the sidecar — both paths share the substring SQL oracle.
     */
   def contamination(spark: SparkSession, dir: String,
+      probes: Seq[String] = ContaminationProbes,
+      usePositions: Boolean = true): DataFrame = {
+    if (usePositions) {
+      val s = Fulltext.positionalIndexFor(spark, dir)
+      return s.phraseMany(probes.zipWithIndex.map(_.swap))
+        .select(col("phrase_id").as("probe_id"), col("doc_id"))
+        .orderBy(col("probe_id"), col("doc_id"))
+    }
+    contaminationTextVerify(spark, dir, probes)
+  }
+
+  /** Fallback for indexes without the positions sidecar: index-pruned
+    * candidates, text-substring verification (the pre-round-5 path).
+    */
+  def contaminationTextVerify(spark: SparkSession, dir: String,
       probes: Seq[String] = ContaminationProbes): DataFrame = {
     import spark.implicits._
     val s = Fulltext.indexFor(spark, dir)

@@ -46,6 +46,41 @@ class CodecSpec extends AnyFunSuite {
     })
   }
 
+  private val posPostingsGen: Gen[(Array[Long], Array[Array[Int]])] = for {
+    n <- Gen.chooseNum(0, 400)
+    gaps <- Gen.listOfN(n, Gen.chooseNum(1L, 100000L))
+    seed <- Gen.chooseNum(0L, Long.MaxValue / 2)
+  } yield {
+    val ids = gaps.scanLeft(0L)(_ + _).tail.toArray
+    val rnd = new scala.util.Random(seed)
+    val positions = Array.fill(n) {
+      val tf = 1 + rnd.nextInt(40)
+      // ascending in-doc positions, first may be 0, gaps ≥ 1
+      Array.iterate(rnd.nextInt(50), tf)(p => p + 1 + rnd.nextInt(30))
+    }
+    (ids, positions)
+  }
+
+  test("positional block encode/decode round-trip (ScalaCheck, 200 cases)") {
+    import graft.codec.PositionCodec
+    check(Prop.forAllNoShrink(posPostingsGen) { case (ids, poss) =>
+      val blocks = PositionCodec.encodeBlocks(ids, poss)
+      val decoded = PositionCodec.decodeBlocks(blocks.map(_._4).toSeq)
+      // blocks align to the same boundary as the frequency codec and
+      // carry true (first, last, count) bounds
+      var off = 0
+      var invariants = true
+      blocks.foreach { case (first, last, count, _) =>
+        invariants &&= count <= PostingCodec.BlockSize &&
+          first == ids(off) && last == ids(off + count - 1)
+        off += count
+      }
+      decoded.docIds.sameElements(ids) && off == ids.length && invariants &&
+        decoded.positions.length == poss.length &&
+        decoded.positions.indices.forall(i => decoded.positions(i).sameElements(poss(i)))
+    })
+  }
+
   test("compression is effective on dense postings") {
     val ids = Array.tabulate(10000)(i => i.toLong * 2)
     val tfs = Array.fill(10000)(3)
