@@ -103,6 +103,12 @@ object SparkEntry {
     "sim_ivf_knn_filtered" -> ((s: SparkSession, d: String) =>
       Similarity.ivfKnn(s, d, k = 10, nlist = 8, nprobe = 8, labelFilter = Some(3))),
     "sim_ivf_add" -> ((s: SparkSession, d: String) => Similarity.ivfAddKnn(s, d)),
+    // recall-vs-nprobe curve at nlist=64 — the reference's per-config
+    // recall table; the oracle replays the ENTIRE index (k-means fit,
+    // cell ranking, partial-probe top-k) in SQL, so partial-probe
+    // points are hash-checked too, not just the exact endpoint
+    "sim_ivf_recall_curve" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfRecallCurve(s, d)),
     // engine clustering + stable-marriage join, both with FULL SQL
     // oracles (the determinism discipline makes the iterations
     // expressible: unrolled CTEs / a recursive CTE)
@@ -185,6 +191,7 @@ object SparkEntry {
     "sim_ivf_knn_batch" -> Similarity.knnExactManySql(),
     "sim_ivf_knn_filtered" -> Similarity.knnExactSql(labelFilter = Some(3)),
     "sim_ivf_add" -> Similarity.knnExactSql(queryVecId = 450L),
+    "sim_ivf_recall_curve" -> Similarity.ivfRecallCurveSql(),
     "eng_kmeans" -> Similarity.kmeansAssignSql,
     "eng_semantic_join" -> Similarity.semanticJoinSql,
     "eng_semantic_join_ann" -> Similarity.semanticJoinAnnSql,

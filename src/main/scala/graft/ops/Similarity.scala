@@ -529,6 +529,11 @@ object Similarity {
     */
   final case class IvfIndex(centroids: DataFrame, assignments: DataFrame)
 
+  /** K-means iterations behind every persisted IVF root — shared with the
+    * recall-curve oracle, which replays the identical fit in SQL.
+    */
+  final val IvfKmeansIters = 2
+
   def ivfIndexFor(spark: SparkSession, dir: String, nlist: Int = 8,
       maxId: Option[Long] = None): IvfIndex = {
     import java.nio.file.{Files, Paths}
@@ -539,7 +544,7 @@ object Similarity {
     if (!Files.exists(marker)) {
       val pts0 = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
       val pts = maxId.map(m => pts0.where(col("id") < m)).getOrElse(pts0)
-      val km = graft.index.KMeans.fit(spark, pts, k = nlist, iterations = 2)
+      val km = graft.index.KMeans.fit(spark, pts, k = nlist, iterations = IvfKmeansIters)
       km.centroids.write.mode("overwrite").parquet(s"$root/centroids")
       // assignments partitioned BY CELL: a probe reads only its cells'
       // files (partition pruning), the IVF point at scale
@@ -651,6 +656,110 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  final val RecallCurveNlist = 64
+  final val RecallCurveNprobes: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64)
+  final val RecallCurveNQueries = 20
+  final val RecallCurveK = 10
+
+  /** Recall-vs-nprobe curve for the IVF index at a non-trivial nlist —
+    * the per-config recall table the reference publishes for its
+    * quantization/connectivity sweeps (/root/reference/BENCHMARKS.md:28-40).
+    * One pass scores every (query, candidate, cell_rank) triple; each
+    * nprobe's top-k is a bounded map-side partial over the `cell_rank <=
+    * nprobe` slice, so the whole curve is ONE plan whose size is
+    * |nprobes| × the largest probe's candidate set — no per-point rebuild.
+    * recall_bp is integer basis points (10000·hits div (nQueries·k)) —
+    * never a rounded double ratio (cross-engine .5 boundaries).
+    * At nprobe = nlist every cell is probed, so the curve's last point
+    * must be exactly 10000 (full probe ≡ brute force); IvfSpec pins that
+    * and monotonicity in nprobe.
+    */
+  def ivfRecallCurve(spark: SparkSession, dir: String,
+      nQueries: Int = RecallCurveNQueries, k: Int = RecallCurveK,
+      nlist: Int = RecallCurveNlist): DataFrame = {
+    val ivf = ivfIndexFor(spark, dir, nlist)
+    val qSet = emb(spark, dir).where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // every cell ranked per query (bounded: nlist rows/query), map-side partial
+    val cellRank = broadcast(
+      qSet.crossJoin(broadcast(ivf.centroids.select(col("cid"), col("cvec").as("cv"))))
+        .select(col("query_id"), col("cid"), cosine(col("qv"), col("cv")).as("c_cos"))
+        .groupBy(col("query_id"))
+        .agg(graft.functions.TopKAgg.greatest(col("c_cos"), col("cid"), nlist).as("cells"))
+        .select(col("query_id"), posexplode(col("cells")).as(Seq("crnk0", "c")))
+        .select(col("query_id"), col("c.id").as("cid"), (col("crnk0") + 1).as("cell_rank")))
+    val scored = ivf.assignments
+      .join(cellRank, "cid")
+      .select(col("query_id"), col("id").as("vec_id"), col("cell_rank"))
+      .join(emb(spark, dir), "vec_id")
+      .join(broadcast(qSet), "query_id")
+      .select(col("query_id"), col("vec_id"), col("cell_rank"),
+        cosine(col("embedding"), col("qv")).as("cos_raw"))
+    val probes = explode(lit(RecallCurveNprobes.toArray)).as("nprobe")
+    val ivfTopk = scored
+      .select(col("query_id"), col("vec_id"), col("cell_rank"), col("cos_raw"), probes)
+      .where(col("cell_rank") <= col("nprobe"))
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(graft.functions.TopKAgg.greatest(col("cos_raw"), col("vec_id"), k).as("hits"))
+      .select(col("nprobe"), col("query_id"), explode(col("hits.id")).as("vec_id"))
+    val exact = qSet.crossJoin(emb(spark, dir))
+      .select(col("query_id"), col("vec_id"), cosine(col("embedding"), col("qv")).as("cos_raw"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.greatest(col("cos_raw"), col("vec_id"), k).as("hits"))
+      .select(col("query_id"), explode(col("hits.id")).as("vec_id"))
+    val hits = ivfTopk.join(exact, Seq("query_id", "vec_id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("h"))
+    import spark.implicits._
+    RecallCurveNprobes.toDF("nprobe")
+      .join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe"),
+        expr(s"10000 * coalesce(h, 0L) div ${nQueries.toLong * k}").as("recall_bp"))
+      .orderBy(col("nprobe"))
+  }
+
+  /** DuckDB oracle for [[ivfRecallCurve]]: replays the persisted index's
+    * k-means fit via [[kmeansCtesSql]] (bit-identical centroids — the
+    * eng_kmeans-proven recipe), then the same cell-rank / top-k /
+    * intersection arithmetic with the identical (score desc, id asc)
+    * tie rule at every rank boundary.
+    */
+  def ivfRecallCurveSql(nQueries: Int = RecallCurveNQueries, k: Int = RecallCurveK,
+      nlist: Int = RecallCurveNlist): String = {
+    val probeValues = RecallCurveNprobes.map(p => s"($p)").mkString(",")
+    s"""WITH pts AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${kmeansCtesSql(nlist, IvfKmeansIters)},
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |      FROM embeddings WHERE vec_id < $nQueries),
+       |cellrank AS (
+       |  SELECT query_id, cid,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ${cosineSql("qv", "cv")} DESC, cid) AS cell_rank
+       |  FROM q CROSS JOIN c$IvfKmeansIters),
+       |cand AS (
+       |  SELECT cr.query_id, a.id, cr.cell_rank,
+       |    ${cosineSql("p.v", "q.qv")} AS cos_raw
+       |  FROM afin a JOIN cellrank cr ON cr.cid = a.cid
+       |  JOIN pts p ON p.id = a.id JOIN q ON q.query_id = cr.query_id),
+       |probes(nprobe) AS (VALUES $probeValues),
+       |ivfk AS (
+       |  SELECT nprobe, query_id, id FROM (
+       |    SELECT pr.nprobe, c.query_id, c.id,
+       |      row_number() OVER (PARTITION BY pr.nprobe, c.query_id
+       |        ORDER BY c.cos_raw DESC, c.id) AS rn
+       |    FROM cand c JOIN probes pr ON c.cell_rank <= pr.nprobe) WHERE rn <= $k),
+       |exact AS (
+       |  SELECT query_id, id FROM (
+       |    SELECT q.query_id, p.id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosineSql("p.v", "q.qv")} DESC, p.id) AS rn
+       |    FROM q CROSS JOIN pts p) WHERE rn <= $k),
+       |hits AS (
+       |  SELECT nprobe, count(*) AS h FROM ivfk JOIN exact USING (query_id, id)
+       |  GROUP BY nprobe)
+       |SELECT pr.nprobe, CAST(10000 * coalesce(h, 0) // ${nQueries.toLong * k} AS BIGINT) AS recall_bp
+       |FROM probes pr LEFT JOIN hits USING (nprobe) ORDER BY pr.nprobe""".stripMargin
+  }
+
   /** Incremental IVF add — the reference's add-then-search lifecycle
     * (`index.add(key, vector)` then immediately searchable,
     * /root/reference/include/usearch/index_dense.hpp:779-817) on the IVF
@@ -724,7 +833,23 @@ object Similarity {
     * list_aggregate('sum') folds left-to-right, matching Spark's
     * aggregate-over-sort_array), empty clusters kept via coalesce.
     */
-  def kmeansAssignSql: String = {
+  def kmeansAssignSql: String =
+    s"""WITH pts AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${kmeansCtesSql(KmeansK, KmeansIters)}
+       |SELECT id AS vec_id, cid AS cluster, round(dist, 6) + 0.0 AS dist
+       |FROM afin ORDER BY vec_id""".stripMargin
+
+  /** Shared CTE generator replaying `KMeans.fit(k, iters)` in DuckDB over
+    * a caller-defined `pts(id, v)` CTE: emits centroid states `c0..c$iters`
+    * and `afin(id, cid, dist)` — the assignment against the final
+    * centroids. This is [[kmeansAssignSql]]'s hash-proven recipe (argmin
+    * window ties by cid; in-order list sum over value-sorted members —
+    * DuckDB's `list_aggregate('sum')` folds left-to-right like Spark's
+    * aggregate-over-sort_array; empty clusters kept via coalesce),
+    * parameterized so the IVF recall-curve oracle replays the identical
+    * k-means the persisted index was built with.
+    */
+  private def kmeansCtesSql(k: Int, iters: Int): String = {
     def dist(p: String, c: String): String =
       s"list_dot_product($p,$p) - 2*list_dot_product($p,$c) + list_dot_product($c,$c)"
     def assignCte(name: String, cents: String, keepVec: Boolean): String =
@@ -732,7 +857,7 @@ object Similarity {
          |  SELECT p.id, c.cid, p.v, ${dist("p.v", "c.cv")} AS dist,
          |    row_number() OVER (PARTITION BY p.id ORDER BY ${dist("p.v", "c.cv")}, c.cid) AS rnk
          |  FROM pts p CROSS JOIN $cents c) WHERE rnk = 1)""".stripMargin
-    val iters = (1 to KmeansIters).map { i =>
+    val iterCtes = (1 to iters).map { i =>
       s"""${assignCte(s"a$i", s"c${i - 1}", keepVec = true)},
          |u$i AS (SELECT cid, list(mean ORDER BY dim) AS cv FROM (
          |  SELECT cid, dim, list_aggregate(list(x ORDER BY x), 'sum') / count(*) AS mean
@@ -740,13 +865,10 @@ object Similarity {
          |  GROUP BY cid, dim) GROUP BY cid),
          |c$i AS (SELECT c.cid, coalesce(u.cv, c.cv) AS cv FROM c${i - 1} c LEFT JOIN u$i u ON u.cid = c.cid)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pts AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, v AS cv
-       |       FROM (SELECT id, v FROM pts ORDER BY id LIMIT $KmeansK)),
-       |$iters,
-       |${assignCte("afin", s"c$KmeansIters", keepVec = false)}
-       |SELECT id AS vec_id, cid AS cluster, round(dist, 6) + 0.0 AS dist
-       |FROM afin ORDER BY vec_id""".stripMargin
+    s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, v AS cv
+       |       FROM (SELECT id, v FROM pts ORDER BY id LIMIT $k)),
+       |$iterCtes,
+       |${assignCte("afin", s"c$iters", keepVec = false)}""".stripMargin
   }
 
   /** Engine semantic join (stable-marriage analog). Batch-synchronous

@@ -93,4 +93,20 @@ class IvfSpec extends SparkSpec {
       assert(batch.getOrElse(q.toLong, Seq.empty) == per, s"query $q")
     }
   }
+
+  test("recall-vs-nprobe curve is monotone and exact at full probe") {
+    val curve = Similarity.ivfRecallCurve(spark, dir)
+      .as[(Int, Long)].collect().toSeq
+    assert(curve.map(_._1) == Similarity.RecallCurveNprobes,
+      s"nprobe points: $curve")
+    val bps = curve.map(_._2)
+    assert(bps.zip(bps.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in nprobe: $curve")
+    // nprobe = nlist probes every cell → the IVF result IS brute force
+    assert(bps.last == 10000L, s"full probe must be exact: $curve")
+    // the curve must do real work at the sparse end: probing 1/64 of the
+    // cells can't silently scan everything
+    assert(bps.head < 10000L, s"nprobe=1 suspiciously perfect: $curve")
+    info(s"recall curve (bp): ${curve.map { case (p, r) => s"$p→$r" }.mkString(", ")}")
+  }
 }
