@@ -51,6 +51,10 @@ object SparkEntry {
     "eng_stats" -> Fulltext.engStats _,
     "eng_levels_stats" -> Fulltext.engLevelsStats _,
     "eng_phrase" -> Fulltext.engPhrase _,
+    "eng_proximity" -> Fulltext.engProximity _,
+    "eng_bm25_and_many" -> Fulltext.engBm25AndMany _,
+    "eng_prefix_search" -> Fulltext.engPrefixSearch _,
+    "eng_manifest" -> Fulltext.engManifest _,
     // usearch key-API analogs
     "u_contains" -> UsearchOps.contains _,
     "u_count_key" -> UsearchOps.countKey _,
@@ -174,6 +178,10 @@ object SparkEntry {
     "eng_stats" -> Fulltext.engStatsSql,
     "eng_levels_stats" -> Fulltext.engLevelsStatsSql,
     "eng_phrase" -> Fulltext.engPhraseSql(),
+    "eng_proximity" -> Fulltext.engProximitySql(),
+    "eng_bm25_and_many" -> Fulltext.bm25AndTopKManySql(),
+    "eng_prefix_search" -> Fulltext.prefixSearchSql(),
+    "eng_manifest" -> Fulltext.engManifestSql,
     "u_contains" -> UsearchOps.containsSql,
     "u_count_key" -> UsearchOps.countKeySql,
     "u_get" -> UsearchOps.getSql,

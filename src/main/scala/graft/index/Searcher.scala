@@ -312,6 +312,165 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
       .orderBy(col("phrase_id"), col("doc_id"))
   }
 
+  /** Index-only PROXIMITY search, batched: for each (query_id, query,
+    * window), every document whose minimal token window containing ALL
+    * distinct query terms is ≤ `window` long, with that minimal span and
+    * its leftmost start position (0-based) — answered from the positions
+    * sidecar alone, like [[phraseMany]] (the proximity/NEAR operator a
+    * fulltext user runs next to phrase; reference's exact-text retrieval
+    * direction, /root/reference/README.md:3-4).
+    *
+    * Semantics: min_span = min over all m-tuples (one position per
+    * distinct term) of (max − min + 1); span_start = the smallest start
+    * among tuples achieving min_span. Both are integers — no float
+    * crosses the engine boundary. Plan shape identical to [[phraseMany]]:
+    * one pruned dictionary read plans everything, queries with a
+    * dictionary-absent term die at planning, candidate buckets per query
+    * are the intersection of its terms' bucket lists, one pruned
+    * positions read, per-bucket sorted-list sweeps.
+    *
+    * Returns DataFrame(query_id: Int, doc_id: Long, min_span: Long,
+    * span_start: Long) ordered (query_id, doc_id), rows only where
+    * min_span ≤ window.
+    */
+  def proximityMany(queries: Seq[(Int, String, Int)]): DataFrame = {
+    require(hasPositions,
+      s"index at $root has no positions sidecar — run IndexBuilder.buildPositions first")
+    val empty = spark.emptyDataset[(Int, Long, Long, Long)]
+      .toDF("query_id", "doc_id", "min_span", "span_start")
+    val qs: Seq[(Int, Array[String], Int)] = queries
+      .map { case (id, q, w) => (id, Tokenizer.tokenize(q).distinct.sorted, w) }
+      .filter(_._2.nonEmpty)
+    if (qs.isEmpty) return empty
+    val local = dictRows(qs.flatMap(_._2).distinct.sorted)
+    val live = qs.filter { case (_, ts, _) => ts.forall(t => local.get(t).exists(_.df > 0L)) }
+    if (live.isEmpty) return empty
+    val queryBuckets: Map[Int, Set[Int]] = live.map { case (id, ts, _) =>
+      id -> ts.iterator.map(t => local(t).buckets.toSet).reduce(_ intersect _)
+    }.toMap
+    val buckets = queryBuckets.values.flatten.toSeq.distinct
+    if (buckets.isEmpty) return empty
+    val liveTerms = live.flatMap(_._2).distinct
+    val qsB = spark.sparkContext.broadcast(live)
+    val qbB = spark.sparkContext.broadcast(queryBuckets)
+    spark.read.parquet(layout.positions).as[PosRow]
+      .where($"term".isin(liveTerms: _*) && $"bucket".isin(buckets: _*))
+      .groupByKey(_.bucket)
+      .flatMapGroups { (bucket, it) =>
+        val rows = it.toArray
+        val byTerm = rows.iterator.map(r =>
+          r.term -> graft.codec.PositionCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq)).toMap
+        if (byTerm.size != rows.length)
+          throw new IllegalStateException(
+            s"positions invariant violated in bucket $bucket: ${rows.length} rows, " +
+              s"${byTerm.size} terms")
+        qsB.value.iterator
+          .filter { case (id, _, _) => qbB.value(id).contains(bucket) }
+          .flatMap { case (id, ts, w) =>
+            Searcher.proximityHitsInBucket(ts, w, byTerm)
+              .map { case (d, span, start) => (id, d, span, start) }
+          }
+      }
+      .toDF("query_id", "doc_id", "min_span", "span_start")
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
+  /** Batched CONJUNCTIVE (AND-semantics) BM25 top-k: only documents
+    * containing EVERY query term are ranked — the boolean-AND retrieval
+    * mode next to [[searchMany]]'s disjunctive WAND/TAAT (a fulltext
+    * engine's `+term +term` query; same exact-search rank-identity
+    * contract as the reference, /root/reference/include/usearch/
+    * index.hpp:4251-4268).
+    *
+    * Plan shape: one pruned dictionary read plans everything; a query
+    * with any dictionary-absent term is dead at planning (zero data
+    * jobs — AND of an absent term is empty); candidate buckets per query
+    * are the INTERSECTION of its terms' bucket lists; one postings read
+    * pruned to the union of live terms and those buckets; each bucket
+    * task decodes each term once (shared cache), intersects docIds
+    * driving from the bucket-sparsest term, and scores survivors with
+    * the identical sorted-term left-fold `idf · Bm25.tfNorm` arithmetic
+    * as [[searchMany]] — so a conjunctive hit's score is bit-identical
+    * to the same doc's disjunctive score. Per-bucket top-k, then the
+    * same bounded [[Searcher.finishMany]] global merge.
+    *
+    * Returns (query_id, doc_id, score, rank) ordered (query_id, rank).
+    */
+  def searchConjunctiveMany(queries: Seq[(Int, String)], k: Int): DataFrame = {
+    val emptyPartial = spark.emptyDataset[(Int, Long, Double)]
+      .toDF("query_id", "doc_id", "score")
+    val qTerms: Seq[(Int, Array[String])] =
+      queries.map { case (id, q) => (id, Tokenizer.tokenize(q).distinct.sorted) }
+        .filter(_._2.nonEmpty)
+    if (qTerms.isEmpty) return Searcher.finishMany(emptyPartial, k)
+    val localRows = dictRows(qTerms.flatMap(_._2).distinct.sorted)
+    val live = qTerms.filter { case (_, ts) =>
+      ts.forall(t => localRows.get(t).exists(_.df > 0L))
+    }
+    if (live.isEmpty) return Searcher.finishMany(emptyPartial, k)
+    val liveTerms = live.flatMap(_._2).distinct.sorted
+    val idfByTerm = liveTerms.map(t => t -> Bm25.idf(localRows(t).df, stats.nDocs)).toMap
+    val queryBuckets: Map[Int, Set[Int]] = live.map { case (id, ts) =>
+      id -> ts.iterator.map(t => localRows(t).buckets.toSet).reduce(_ intersect _)
+    }.toMap
+    val buckets = queryBuckets.values.flatten.toSeq.distinct
+    if (buckets.isEmpty) return Searcher.finishMany(emptyPartial, k)
+
+    val postings = spark.read.parquet(layout.segments).as[PostingRow]
+      .where($"term".isin(liveTerms: _*) && $"bucket".isin(buckets: _*))
+    val doclens = doclensDS.where($"bucket".isin(buckets: _*))
+
+    val idfB = spark.sparkContext.broadcast(idfByTerm)
+    val qsB = spark.sparkContext.broadcast(live.toArray)
+    val qbB = spark.sparkContext.broadcast(queryBuckets)
+    val kLocal = k
+    val avgdlLocal = stats.avgdl
+
+    val perBucket = postings
+      .groupByKey(_.bucket)
+      .cogroup(doclens.groupByKey(_.bucket)) { (bucket, posts, lens) =>
+        val postsArr = posts.toArray
+        val lensArr = lens.toArray
+        if (postsArr.isEmpty) Iterator.empty
+        else if (lensArr.isEmpty)
+          throw new IllegalStateException(
+            s"index invariant violated: bucket $bucket has postings but no doclens row ($root)")
+        else {
+          val active = qsB.value.filter { case (id, _) => qbB.value(id).contains(bucket) }
+          val cache = new java.util.HashMap[String, graft.codec.Postings]()
+          Searcher.conjunctiveBucket(postsArr, lensArr.head, idfB.value,
+            avgdlLocal, kLocal, active, cache)
+        }
+      }
+      .toDF("query_id", "doc_id", "score")
+    Searcher.finishMany(perBucket, k)
+  }
+
+  /** PREFIX-expanded top-k search (the dictionary-driven `term*` wildcard
+    * query): expand the prefix against the term dictionary — ONE pruned
+    * Parquet read, `StringStartsWith` pushed to the scan over the sorted
+    * term ranges — then score the expansion as a disjunctive BM25 query
+    * through the ordinary [[search]] path (each matched term weighted by
+    * its own idf). `maxExpansion` bounds the planning fan-out loudly: a
+    * one-letter prefix over a web-scale dictionary is a user error, not
+    * a silent full scan.
+    */
+  def searchPrefix(prefix: String, k: Int, maxExpansion: Int = 1024): DataFrame = {
+    require(prefix.nonEmpty && prefix.matches("[a-z0-9]+"),
+      s"prefix must be a non-empty token fragment [a-z0-9]+, got '$prefix'")
+    val expanded: Seq[String] =
+      if (cacheHot) hotDict.keysIterator.filter(_.startsWith(prefix)).toSeq.sorted
+      else dictDS.where($"term".startsWith(prefix))
+        .select("term").as[String].collect().toSeq.sorted
+    if (expanded.size > maxExpansion)
+      throw new IllegalArgumentException(
+        s"prefix '$prefix' expands to ${expanded.size} terms (> $maxExpansion) — " +
+          "narrow the prefix or raise maxExpansion")
+    if (expanded.isEmpty)
+      return spark.emptyDataset[Hit].toDF("doc_id", "score")
+    search(expanded.mkString(" "), k)
+  }
+
   /** Top-k search. Returns DataFrame(doc_id: Long, score: Double) ordered
     * (score desc, doc_id asc), exactly k rows or fewer.
     *
@@ -542,6 +701,141 @@ object Searcher {
           j += 1
         }
         if (n > 0L) Iterator.single((docId, n)) else Iterator.empty
+      }
+    }
+  }
+
+  /** Minimal-window proximity verify inside one bucket given decoded
+    * positional postings: for each doc containing every distinct term,
+    * the minimal span of a token window covering all of them and the
+    * leftmost start achieving it — emitted only when min_span ≤ window.
+    *
+    * Per doc this is the classic k-sorted-lists sweep: all positions
+    * strictly below the current minimum have been consumed, so when the
+    * minimum is p every other pointer sits at its list's first position
+    * ≥ p — the window [p, max(heads)] is exactly the tightest window
+    * whose minimum is p. Sweeping all p and taking the lexicographic min
+    * of (span, start) therefore equals the min over ALL m-tuples of
+    * (max − min + 1, min) — the oracle's cross-join definition.
+    * O(total positions · m) per doc, integers only.
+    */
+  private[index] def proximityHitsInBucket(
+      ts: Array[String],
+      window: Int,
+      byTerm: Map[String, graft.codec.PosPostings]): Iterator[(Long, Long, Long)] = {
+    if (!ts.forall(byTerm.contains)) return Iterator.empty
+    val m = ts.length
+    val maps: Array[java.util.HashMap[Long, Array[Int]]] = ts.map { t =>
+      val pp = byTerm(t)
+      val h = new java.util.HashMap[Long, Array[Int]](pp.size * 2)
+      var i = 0
+      while (i < pp.size) { h.put(pp.docIds(i), pp.positions(i)); i += 1 }
+      h
+    }
+    val lead = byTerm(ts.minBy(t => byTerm(t).size))
+    Iterator.range(0, lead.size).flatMap { i =>
+      val docId = lead.docIds(i)
+      var t = 0
+      var all = true
+      while (all && t < m) { if (!maps(t).containsKey(docId)) all = false; t += 1 }
+      if (!all) Iterator.empty
+      else {
+        val lists: Array[Array[Int]] = Array.tabulate(m)(j => maps(j).get(docId))
+        val ptr = new Array[Int](m)
+        var bestSpan = Long.MaxValue
+        var bestStart = Long.MaxValue
+        var done = false
+        while (!done) {
+          var mn = Int.MaxValue
+          var mx = Int.MinValue
+          var argmin = -1
+          var j = 0
+          while (j < m) {
+            val p = lists(j)(ptr(j))
+            if (p < mn) { mn = p; argmin = j }
+            if (p > mx) mx = p
+            j += 1
+          }
+          val span = (mx - mn + 1).toLong
+          if (span < bestSpan || (span == bestSpan && mn < bestStart)) {
+            bestSpan = span; bestStart = mn.toLong
+          }
+          ptr(argmin) += 1
+          if (ptr(argmin) >= lists(argmin).length) done = true
+        }
+        if (bestSpan <= window) Iterator.single((docId, bestSpan, bestStart))
+        else Iterator.empty
+      }
+    }
+  }
+
+  /** Conjunctive (AND) BM25 scoring of one bucket for a batch of queries:
+    * decode each term once (shared cache), intersect docIds driving from
+    * the bucket-sparsest term, score survivors with the identical
+    * sorted-term left-fold `idf · tfNorm` arithmetic as [[taatBucket]]/
+    * [[wandBucket]] (a conjunctive hit's score is bit-identical to the
+    * same doc's disjunctive score), keep a bounded per-query top-k.
+    */
+  private[index] def conjunctiveBucket(
+      rows: Array[PostingRow],
+      doclen: DocLenRow,
+      idfByTerm: Map[String, Double],
+      avgdl: Double,
+      k: Int,
+      queries: Array[(Int, Array[String])],
+      decodedCache: java.util.HashMap[String, graft.codec.Postings]): Iterator[(Int, Long, Double)] = {
+    val byTerm = rows.iterator.map(r => r.term -> r).toMap
+    if (byTerm.size != rows.length)
+      throw new IllegalStateException(
+        "index invariant violated: bucket holds more than one segment row " +
+          s"per term (${rows.length} rows, ${byTerm.size} terms)")
+    val dIds = doclen.docIds
+    val dLens = doclen.lens
+    def decoded(t: String): graft.codec.Postings =
+      decodedCache.computeIfAbsent(t,
+        _ => PostingCodec.decodeBlocks(byTerm(t).blocks.map(_.bytes).toSeq))
+    queries.iterator.flatMap { case (qid, ts) =>
+      // every term must have postings in this bucket (the bucket came
+      // from the intersection of term bucket lists, but a multi-shard
+      // caller may pass wider sets — skip, never throw)
+      if (!ts.forall(byTerm.contains)) Iterator.empty
+      else {
+        val posts: Array[graft.codec.Postings] = ts.map(decoded)
+        val idfs: Array[Double] = ts.map(idfByTerm)
+        val m = ts.length
+        var sparse = 0
+        var j = 1
+        while (j < m) { if (posts(j).size < posts(sparse).size) sparse = j; j += 1 }
+        val drive = posts(sparse)
+        val topk = new TopK(k)
+        var i = 0
+        while (i < drive.size) {
+          val d = drive.docIds(i)
+          // tf per term via binary search in each sorted posting list
+          val tfs = new Array[Int](m)
+          var ok = true
+          var t = 0
+          while (ok && t < m) {
+            val at = java.util.Arrays.binarySearch(posts(t).docIds, d)
+            if (at < 0) ok = false else tfs(t) = posts(t).tfs(at)
+            t += 1
+          }
+          if (ok) {
+            val dli = java.util.Arrays.binarySearch(dIds, d)
+            if (dli < 0)
+              throw new IllegalStateException(
+                s"index invariant violated: doc $d has postings but no doclens entry")
+            val dl = dLens(dli)
+            // left fold over the query's sorted terms — same order and
+            // arithmetic as the disjunctive paths
+            var score = 0.0
+            var s = 0
+            while (s < m) { score += idfs(s) * Bm25.tfNorm(tfs(s), dl, avgdl); s += 1 }
+            topk.offer(d, score)
+          }
+          i += 1
+        }
+        topk.result.map(h => (qid, h.docId, h.score))
       }
     }
   }

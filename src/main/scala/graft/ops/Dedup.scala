@@ -71,14 +71,19 @@ object Dedup {
     */
   private[graft] var memoCacheCap: Int = 4
 
-  /** Access-ordered bounded memo map; evicted frames are unpersisted. */
+  /** Access-ordered bounded memo map; evicted frames are unpersisted.
+    * Trimming runs on EVERY access (not just inserts, the
+    * removeEldestEntry-only shape): a lowered cap or a cache-hit access
+    * still shrinks the map to the cap, evicting eldest-first.
+    */
   private final class MemoLru
     extends java.util.LinkedHashMap[(SparkSession, String), DataFrame](8, 0.75f, true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean = {
-      val evict = size() > memoCacheCap
-      if (evict) e.getValue.unpersist()
-      evict
+    def trim(): Unit = {
+      val it = entrySet().iterator()
+      while (size() > memoCacheCap && it.hasNext) {
+        it.next().getValue.unpersist()
+        it.remove()
+      }
     }
   }
 
@@ -90,6 +95,7 @@ object Dedup {
         .select(col("doc_id"), Tokenizer.tokensCol(col("text")).as("toks"))
         .select(col("doc_id"), explode(shinglesOfToks(col("toks"))).as("shingle"))
         .distinct())
+    shingleCache.trim()
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
     df
   }
@@ -204,6 +210,7 @@ object Dedup {
 
   private[graft] def minhashTable(spark: SparkSession, dir: String): DataFrame = synchronized {
     val df = minhashCache.computeIfAbsent((spark, dir), _ => minhashes(spark, dir))
+    minhashCache.trim()
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
     df
   }

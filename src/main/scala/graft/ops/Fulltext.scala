@@ -204,6 +204,171 @@ object Fulltext {
        |) u WHERE phrase_tf > 0 ORDER BY phrase_id, doc_id""".stripMargin
   }
 
+  /** Fixed proximity probe set: (query_id, terms, window). Two satisfied
+    * at every scale, one window-tight (present terms but a span that may
+    * or may not fit), one dictionary-absent canary (dies at planning).
+    */
+  final val ProximityQueries: Seq[(Int, String, Int)] = Seq(
+    (0, "dup spark", 8),
+    (1, "key hash join", 12),
+    (2, "merge batch dup", 15),
+    (3, "quantum flux", 4))
+
+  /** Index-only PROXIMITY (NEAR/W) search over the fixed probe set: every
+    * (query, doc) whose minimal token window covering all query terms is
+    * within the query's window, with the span and its leftmost 0-based
+    * start — answered from the positions sidecar, the corpus text is
+    * never read ([[graft.index.Searcher.proximityMany]]).
+    */
+  def engProximity(spark: SparkSession, dir: String): DataFrame =
+    positionalIndexFor(spark, dir).proximityMany(ProximityQueries)
+
+  /** Oracle: the cross-join definition of the minimal window — min over
+    * all m-tuples (one position per term) of (max − min + 1), leftmost
+    * start among the minimal tuples — by explicit position arithmetic
+    * over the tokenized docs. The (span, start) lexicographic min rides
+    * one BIGINT: span·2²⁰ + start (positions are far below 2²⁰ here;
+    * integers only, nothing floats across the engine boundary).
+    */
+  def engProximitySql(queries: Seq[(Int, String, Int)] = ProximityQueries): String = {
+    val enc = 1048576L
+    val selects = queries.map { case (qid, q, w) =>
+      val ts = Tokenizer.tokenize(q).distinct.sorted
+      val lists = ts.zipWithIndex.map { case (t, j) =>
+        s"""(SELECT doc_id, unnest(list_filter(range(1, len(toks) + 1), x -> toks[x] = '$t')) - 1 AS p$j
+           |   FROM d) q$j""".stripMargin
+      }
+      val joins = lists.head +: lists.tail.map(l => s"JOIN $l USING (doc_id)")
+      val ps = ts.indices.map(j => s"p$j").mkString(", ")
+      s"""SELECT $qid AS query_id, doc_id,
+         |    CAST(min(enc) // $enc AS BIGINT) AS min_span,
+         |    CAST(min(enc) % $enc AS BIGINT) AS span_start
+         |  FROM (
+         |    SELECT doc_id,
+         |      (greatest($ps) - least($ps) + 1) * $enc + least($ps) AS enc
+         |    FROM ${joins.mkString("\n    ")}
+         |  ) e
+         |  GROUP BY doc_id
+         |  HAVING CAST(min(enc) // $enc AS BIGINT) <= $w""".stripMargin
+    }
+    s"""WITH d AS (SELECT doc_id, ${Tokenizer.duckdbTokensSql("text")} AS toks FROM documents)
+       |SELECT query_id, doc_id, min_span, span_start FROM (
+       |${selects.mkString("\nUNION ALL\n")}
+       |) u ORDER BY query_id, doc_id""".stripMargin
+  }
+
+  /** Fixed conjunctive (AND) query batch: one rare-term query, one
+    * common-terms query, one rare+common mix, one dictionary-absent
+    * canary (dead at planning — AND of an absent term is empty).
+    */
+  final val AndQueries: Seq[(Int, String)] = Seq(
+    (0, "spark merge dup"),
+    (1, "key hash join"),
+    (2, "dup stream table"),
+    (3, "quantum flux spark"))
+
+  /** Batched conjunctive BM25 top-k (`+term +term` boolean-AND mode):
+    * only docs containing EVERY query term are ranked; scores are the
+    * identical sorted-term BM25 fold as the disjunctive entries
+    * ([[graft.index.Searcher.searchConjunctiveMany]]).
+    */
+  def engBm25AndMany(spark: SparkSession, dir: String): DataFrame = {
+    val s = indexFor(spark, dir)
+    s.searchConjunctiveMany(AndQueries, K)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** UNION ALL of per-query oracles — [[bm25TopKManySql]]'s math with a
+    * `HAVING count(DISTINCT term) = m` conjunctive gate.
+    */
+  def bm25AndTopKManySql(queries: Seq[(Int, String)] = AndQueries, k: Int = K): String =
+    queries.map { case (qid, q) =>
+      val terms = Tokenizer.tokenize(q).distinct.sorted.toSeq
+      val termList = terms.map(t => s"'$t'").mkString(", ")
+      s"""SELECT $qid AS query_id, CAST(rnk AS INT) AS rank, doc_id, round(score_raw, 4) AS score FROM (
+         |  WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+         |  tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |  dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |  st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         |                CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+         |  dfq AS (SELECT term, count(*) AS df FROM tf WHERE term IN ($termList) GROUP BY 1)
+         |  SELECT tf.doc_id,
+         |         sum(${graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")}) AS score_raw,
+         |         row_number() OVER (
+         |           ORDER BY sum(${graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")}) DESC, tf.doc_id) AS rnk
+         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         |  WHERE tf.term IN ($termList)
+         |  GROUP BY tf.doc_id
+         |  HAVING count(DISTINCT tf.term) = ${terms.size}) x
+         |WHERE rnk <= $k""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY query_id, rank")
+
+  /** Prefix probe: expands against the dictionary (6 terms at every
+    * scale factor: scan, slow, small, sort, spark, stream).
+    */
+  final val PrefixProbe = "s"
+
+  /** Dictionary-driven PREFIX search (`s*`): expand the prefix over the
+    * term dictionary (one pruned read, StringStartsWith pushdown), then
+    * rank the expansion as a disjunctive BM25 query — each matched term
+    * weighted by its own idf ([[graft.index.Searcher.searchPrefix]]).
+    * The oracle derives the SAME expansion independently via `LIKE`.
+    */
+  def engPrefixSearch(spark: SparkSession, dir: String): DataFrame = {
+    val s = indexFor(spark, dir)
+    s.searchPrefix(PrefixProbe, K)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** [[bm25TopKSql]] with the term set derived by the oracle itself:
+    * `term LIKE 'prefix%'` replaces the literal list, so the dictionary
+    * expansion is independently recomputed from the corpus.
+    */
+  def prefixSearchSql(prefix: String = PrefixProbe, k: Int = K): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+       |              CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+       |dfq AS (SELECT term, count(*) AS df FROM tf WHERE term LIKE '$prefix%' GROUP BY 1),
+       |scores AS (
+       |  SELECT tf.doc_id,
+       |         sum(${graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")}) AS score_raw
+       |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       |  WHERE tf.term LIKE '$prefix%'
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, round(score_raw, 4) AS score
+       |FROM scores
+       |ORDER BY score_raw DESC, doc_id
+       |LIMIT $k""".stripMargin
+
+  /** Build-lineage metrics probe (the north rule's per-partition lineage
+    * + metrics tables, surfaced as a queryable entry): the committed
+    * manifest rows whose row counts are pure functions of the corpus —
+    * doclens (rows = n_docs) and dict (rows = n_terms) — checked against
+    * direct SQL recomputation. A resumed build appends nothing (stages
+    * skip), so the latest row per stage is the one build that ran.
+    */
+  def engManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    indexFor(spark, dir)
+    graft.index.Meta.readManifest(indexRoot(dir))
+      .filter(m => m.stage == "doclens" || m.stage == "dict")
+      .groupBy(_.stage).map { case (_, ms) => ms.last }
+      .map(m => (m.stage, m.rows, m.status))
+      .toSeq.sortBy(_._1)
+      .toDF("stage", "n_rows", "status")
+  }
+
+  val engManifestSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents)
+       |SELECT * FROM (
+       |  SELECT 'dict' AS stage, CAST(count(DISTINCT term) AS BIGINT) AS n_rows, 'committed' AS status FROM tok
+       |  UNION ALL
+       |  SELECT 'doclens', CAST(count(DISTINCT doc_id) AS BIGINT), 'committed' FROM tok
+       |) u ORDER BY stage""".stripMargin
+
   /** Engine WAND top-k; oracle = the same SQL as the declarative path. */
   def engBm25TopK(spark: SparkSession, dir: String): DataFrame = {
     val s = indexFor(spark, dir)

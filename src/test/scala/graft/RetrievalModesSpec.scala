@@ -1,0 +1,175 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.analyze.Tokenizer
+import graft.corpus.CorpusGen
+import graft.index.{IndexBuilder, Searcher}
+import graft.query.Bm25
+
+/** The three round-5 retrieval modes vs driver-side brute force:
+  * proximity (minimal covering window from the positions sidecar),
+  * conjunctive AND-semantics BM25, and dictionary-driven prefix search.
+  * Same bit-identity discipline as EngineSpec/PhraseSpec — docIds AND
+  * double scores must match the independent in-memory computation.
+  */
+class RetrievalModesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- shared fixture --------------------------------------------------
+
+  private lazy val genDocs: Seq[(Long, String)] =
+    (0 until 300).map(i => i.toLong -> CorpusGen.genDoc(42L, i.toLong).content)
+
+  private def buildPositional(docs: Seq[(Long, String)], buckets: Int): Searcher = {
+    val root = Files.createTempDirectory("graft-idx-rm-").toString
+    val df = docs.toDF("doc_id", "content")
+    IndexBuilder.build(spark, df, root, targetBuckets = buckets)
+    IndexBuilder.buildPositions(spark, df, root)
+    new Searcher(spark, root)
+  }
+
+  // ---- proximity -------------------------------------------------------
+
+  /** Brute-force minimal window BY THE DEFINITION: min over all m-tuples
+    * (one position per distinct term) of (max − min + 1), leftmost start
+    * among minimal tuples — enumerated tuple-by-tuple, independent of the
+    * engine's k-list sweep.
+    */
+  private def bruteProximity(
+      docs: Seq[(Long, String)],
+      queries: Seq[(Int, String, Int)]): Seq[(Int, Long, Long, Long)] =
+    for {
+      (qid, q, w) <- queries.sortBy(_._1)
+      ts = Tokenizer.tokenize(q).distinct.sorted
+      if ts.nonEmpty
+      (docId, text) <- docs.sortBy(_._1)
+      toks = Tokenizer.tokenize(text)
+      lists = ts.map(t => toks.indices.filter(i => toks(i) == t))
+      if lists.forall(_.nonEmpty)
+      tuples = lists.foldLeft(Seq(Seq.empty[Int]))((acc, l) =>
+        acc.flatMap(pre => l.map(pre :+ _)))
+      best = tuples.map(tp => ((tp.max - tp.min + 1).toLong, tp.min.toLong)).min
+      if best._1 <= w
+    } yield (qid, docId, best._1, best._2)
+
+  private def runProx(s: Searcher, qs: Seq[(Int, String, Int)]): Seq[(Int, Long, Long, Long)] =
+    s.proximityMany(qs).as[(Int, Long, Long, Long)].collect().toSeq
+
+  test("proximity: crafted corpus — spans, leftmost ties, absent terms") {
+    val docs: Seq[(Long, String)] = Seq(
+      0L -> "a x x b y a b",        // (a,b): tuples incl (5,6) span 2; leftmost min
+      1L -> "b a",                  // order-free: span 2 start 0
+      2L -> "a x x x x x b",        // span 7 — fails window 5, passes 7
+      3L -> "a b c a c b",          // 3-term windows
+      4L -> "c c c a b",            // (a,b,c) span 3 start 2
+      5L -> "a only here",
+      6L -> "b only here")
+    val queries = Seq(
+      (0, "a b", 5),
+      (1, "a b", 7),
+      (2, "a b c", 4),
+      (3, "a zzz", 9))              // dictionary-absent → dies at planning
+    val s = buildPositional(docs, buckets = 3)
+    val got = runProx(s, queries)
+    val want = bruteProximity(docs, queries)
+    assert(got == want, s"proximity diverged:\n got=$got\nwant=$want")
+    // hand-pinned hearts (guard the brute force itself)
+    assert(want.contains((0, 0L, 2L, 5L)), "tight window / leftmost-start case lost")
+    assert(want.contains((0, 1L, 2L, 0L)), "order-free case lost")
+    assert(!want.exists(t => t._1 == 0 && t._2 == 2L) &&
+      want.contains((1, 2L, 7L, 0L)), "window threshold case lost")
+    assert(want.contains((2, 4L, 3L, 2L)), "3-term case lost")
+    assert(!want.exists(_._1 == 3), "absent-term query leaked")
+  }
+
+  test("proximity: generated corpus across buckets equals brute force; monotone in window") {
+    val queries = Seq((0, "def class", 6), (1, "import return static", 10), (2, "val object", 12))
+    val s = buildPositional(genDocs, buckets = 5)
+    val got = runProx(s, queries)
+    val want = bruteProximity(genDocs, queries)
+    assert(want.nonEmpty, "vacuous fixture: no proximity hits")
+    assert(got == want)
+    // widening every window can only add rows, never change shared ones
+    val wide = runProx(s, queries.map { case (id, q, w) => (id, q, w + 5) })
+    val gotSet = got.toSet
+    assert(gotSet.subsetOf(wide.toSet), "widened window lost hits")
+  }
+
+  // ---- conjunctive (AND) BM25 ------------------------------------------
+
+  /** Brute-force conjunctive top-k: docs containing EVERY query term,
+    * scored by the same sorted-term left fold as [[Bm25]], ordered
+    * (score desc, docId asc), first k — doubles compared exactly.
+    */
+  private def bruteConjunctive(
+      docs: Seq[(Long, String)],
+      queries: Seq[(Int, String)],
+      k: Int): Seq[(Int, Long, Double)] = {
+    val toks = docs.map { case (id, t) => (id, Tokenizer.tokenize(t)) }
+    val nDocs = docs.length.toLong
+    val avgdl = toks.map(_._2.length.toLong).sum.toDouble / nDocs.toDouble
+    val df = toks.flatMap(_._2.distinct).groupBy(identity).map { case (t, l) => t -> l.length.toLong }
+    queries.sortBy(_._1).flatMap { case (qid, q) =>
+      val ts = Tokenizer.tokenize(q).distinct.sorted
+      if (!ts.forall(df.contains)) Seq.empty
+      else {
+        val hits = toks.flatMap { case (id, tk) =>
+          val tf = tk.groupBy(identity).map { case (t, l) => t -> l.length }
+          if (!ts.forall(tf.contains)) None
+          else {
+            var s = 0.0
+            ts.foreach(t => s += Bm25.idf(df(t), nDocs) * Bm25.tfNorm(tf(t), tk.length.toLong, avgdl))
+            Some((id, s))
+          }
+        }
+        hits.sortBy { case (id, s) => (-s, id) }.take(k).map { case (id, s) => (qid, id, s) }
+      }
+    }
+  }
+
+  test("conjunctive AND: bit-identical to brute force; absent term kills the query") {
+    val queries = Seq((0, "class import return"), (1, "def val"), (2, "class zzzz"))
+    val k = 10
+    val s = buildPositional(genDocs, buckets = 5)
+    val got = s.searchConjunctiveMany(queries, k)
+      .select("query_id", "doc_id", "score")
+      .as[(Int, Long, Double)].collect().toSeq
+    val want = bruteConjunctive(genDocs, queries, k)
+    assert(want.count(_._1 == 0) == k && want.exists(_._1 == 1),
+      "vacuous fixture: conjunctive queries found nothing")
+    assert(!want.exists(_._1 == 2) && !got.exists(_._1 == 2),
+      "absent-term query must be dead at planning")
+    assert(got == want, s"conjunctive diverged:\n got=$got\nwant=$want")
+  }
+
+  test("conjunctive scores equal the disjunctive path's for the same doc") {
+    val s = buildPositional(genDocs, buckets = 5)
+    val conj = s.searchConjunctiveMany(Seq((0, "class import return")), 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    // exact disjunctive scoring ranks every matching doc; conjunctive
+    // hits must appear there with the IDENTICAL double score
+    val dis = s.searchExact("class import return", 300)
+      .as[(Long, Double)].collect().toMap
+    conj.foreach { case (d, sc) =>
+      assert(dis.get(d).contains(sc), s"doc $d: conjunctive $sc != disjunctive ${dis.get(d)}")
+    }
+  }
+
+  // ---- prefix search ----------------------------------------------------
+
+  test("prefix search equals disjunctive search over the corpus-derived expansion") {
+    val s = buildPositional(genDocs, buckets = 5)
+    val expansion = genDocs.flatMap(d => Tokenizer.tokenize(d._2))
+      .distinct.filter(_.startsWith("s")).sorted
+    assert(expansion.size >= 2, s"vacuous fixture: prefix expands to $expansion")
+    val got = s.searchPrefix("s", 10).as[(Long, Double)].collect().toSeq
+    val want = s.search(expansion.mkString(" "), 10).as[(Long, Double)].collect().toSeq
+    assert(got == want)
+    // over-wide expansion fails loudly instead of scanning
+    val e = intercept[IllegalArgumentException](s.searchPrefix("s", 10, maxExpansion = 1))
+    assert(e.getMessage.contains("expands to"))
+    // no matching term → empty result, no job storm
+    assert(s.searchPrefix("zzzz", 10).count() == 0L)
+  }
+}
