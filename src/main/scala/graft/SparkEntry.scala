@@ -55,6 +55,7 @@ object SparkEntry {
     "eng_bm25_and_many" -> Fulltext.engBm25AndMany _,
     "eng_prefix_search" -> Fulltext.engPrefixSearch _,
     "eng_manifest" -> Fulltext.engManifest _,
+    "eng_snippet" -> Fulltext.engSnippet _,
     // usearch key-API analogs
     "u_contains" -> UsearchOps.contains _,
     "u_count_key" -> UsearchOps.countKey _,
@@ -182,6 +183,7 @@ object SparkEntry {
     "eng_bm25_and_many" -> Fulltext.bm25AndTopKManySql(),
     "eng_prefix_search" -> Fulltext.prefixSearchSql(),
     "eng_manifest" -> Fulltext.engManifestSql,
+    "eng_snippet" -> Fulltext.engSnippetSql(),
     "u_contains" -> UsearchOps.containsSql,
     "u_count_key" -> UsearchOps.countKeySql,
     "u_get" -> UsearchOps.getSql,

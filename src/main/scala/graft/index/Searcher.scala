@@ -471,6 +471,81 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     search(expanded.mkString(" "), k)
   }
 
+  /** SNIPPET/highlight search, batched: conjunctive BM25 top-k
+    * ([[searchConjunctiveMany]]) where each returned doc also carries the
+    * leftmost minimal token window covering ALL query terms — the
+    * preview/highlight anchor — computed index-only from the positions
+    * sidecar for exactly the k·|queries| hit docs, never the corpus text.
+    *
+    * Scale shape: the top-k hits are a bounded driver move (k rows per
+    * query, the same move every top-k entry makes); the positions read is
+    * then pruned THREE ways — term IN, the hits' own docId-range buckets
+    * (bucket = docId / bucketSize, a pure function of the hit), and a
+    * per-doc hit-set filter inside the sweep — so snippet cost is
+    * O(positions of the query terms in the hit buckets), independent of
+    * corpus size.
+    *
+    * Returns (query_id, rank, doc_id, score, snippet_start, snippet_len)
+    * ordered (query_id, rank); snippet_start is 0-based.
+    */
+  def snippetMany(queries: Seq[(Int, String)], k: Int): DataFrame = {
+    require(hasPositions,
+      s"index at $root has no positions sidecar — run IndexBuilder.buildPositions first")
+    // ONE execution of the conjunctive search: the bounded top-k rows
+    // come to the driver (k per query) and re-enter the plan as a local
+    // broadcast-joinable relation
+    val hitRows: Array[(Int, Long, Double, Int)] =
+      searchConjunctiveMany(queries, k)
+        .select($"query_id", $"doc_id", $"score", $"rank")
+        .as[(Int, Long, Double, Int)].collect()
+    val hits = hitRows.toSeq.toDF("query_id", "doc_id", "score", "rank")
+    val empty = spark.emptyDataset[(Int, Long, Long, Long)]
+      .toDF("query_id", "doc_id", "snippet_start", "snippet_len")
+    val windows: DataFrame = if (hitRows.isEmpty) empty else {
+      val docsByQuery: Map[Int, Set[Long]] =
+        hitRows.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val termsByQuery: Map[Int, Array[String]] = queries
+        .map { case (id, q) => id -> Tokenizer.tokenize(q).distinct.sorted }
+        .filter { case (id, _) => docsByQuery.contains(id) }.toMap
+      val bs = stats.bucketSize
+      val bucketsByQuery: Map[Int, Set[Int]] =
+        docsByQuery.map { case (q, ds) => q -> ds.map(d => (d / bs).toInt) }
+      val buckets = bucketsByQuery.values.flatten.toSeq.distinct
+      val liveTerms = termsByQuery.values.flatten.toSeq.distinct
+      val qB = spark.sparkContext.broadcast(
+        termsByQuery.map { case (q, ts) =>
+          (q, ts, bucketsByQuery(q), docsByQuery(q))
+        }.toArray)
+      spark.read.parquet(layout.positions).as[PosRow]
+        .where($"term".isin(liveTerms: _*) && $"bucket".isin(buckets: _*))
+        .groupByKey(_.bucket)
+        .flatMapGroups { (bucket, it) =>
+          val rows = it.toArray
+          val byTerm = rows.iterator.map(r =>
+            r.term -> graft.codec.PositionCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq)).toMap
+          if (byTerm.size != rows.length)
+            throw new IllegalStateException(
+              s"positions invariant violated in bucket $bucket: ${rows.length} rows, " +
+                s"${byTerm.size} terms")
+          qB.value.iterator
+            .filter { case (_, _, bks, _) => bks.contains(bucket) }
+            .flatMap { case (id, ts, _, ds) =>
+              val only = new java.util.HashSet[Long](ds.size * 2)
+              ds.foreach(only.add)
+              Searcher.proximityHitsInBucket(ts, Int.MaxValue, byTerm, only)
+                .map { case (d, span, start) => (id, d, start, span) }
+            }
+        }
+        .toDF("query_id", "doc_id", "snippet_start", "snippet_len")
+    }
+    // every conjunctive hit contains all terms, so the inner join is
+    // lossless by construction (RetrievalModesSpec pins the count)
+    hits.join(windows, Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
+        col("snippet_start"), col("snippet_len"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Top-k search. Returns DataFrame(doc_id: Long, score: Double) ordered
     * (score desc, doc_id asc), exactly k rows or fewer.
     *
@@ -722,7 +797,8 @@ object Searcher {
   private[index] def proximityHitsInBucket(
       ts: Array[String],
       window: Int,
-      byTerm: Map[String, graft.codec.PosPostings]): Iterator[(Long, Long, Long)] = {
+      byTerm: Map[String, graft.codec.PosPostings],
+      only: java.util.HashSet[Long] = null): Iterator[(Long, Long, Long)] = {
     if (!ts.forall(byTerm.contains)) return Iterator.empty
     val m = ts.length
     val maps: Array[java.util.HashMap[Long, Array[Int]]] = ts.map { t =>
@@ -735,8 +811,8 @@ object Searcher {
     val lead = byTerm(ts.minBy(t => byTerm(t).size))
     Iterator.range(0, lead.size).flatMap { i =>
       val docId = lead.docIds(i)
+      var all = only == null || only.contains(docId)
       var t = 0
-      var all = true
       while (all && t < m) { if (!maps(t).containsKey(docId)) all = false; t += 1 }
       if (!all) Iterator.empty
       else {

@@ -304,6 +304,60 @@ object Fulltext {
          |WHERE rnk <= $k""".stripMargin
     }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY query_id, rank")
 
+  /** SNIPPET search over the conjunctive probe set: top-k AND-mode BM25
+    * hits, each carrying its leftmost minimal window covering all query
+    * terms (the highlight anchor) — computed index-only from the
+    * positions sidecar for the hit docs alone
+    * ([[graft.index.Searcher.snippetMany]]).
+    */
+  def engSnippet(spark: SparkSession, dir: String): DataFrame =
+    positionalIndexFor(spark, dir).snippetMany(AndQueries, K)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"),
+        col("snippet_start"), col("snippet_len"))
+
+  /** Oracle: the conjunctive top-k math joined with the cross-join
+    * minimal-window definition (no window cap — every AND hit has one).
+    */
+  def engSnippetSql(queries: Seq[(Int, String)] = AndQueries, k: Int = K): String = {
+    val enc = 1048576L
+    queries.map { case (qid, q) =>
+      val terms = Tokenizer.tokenize(q).distinct.sorted.toSeq
+      val termList = terms.map(t => s"'$t'").mkString(", ")
+      val lists = terms.zipWithIndex.map { case (t, j) =>
+        s"""(SELECT doc_id, unnest(list_filter(range(1, len(toks) + 1), x -> toks[x] = '$t')) - 1 AS p$j
+           |     FROM d) q$j""".stripMargin
+      }
+      val joins = lists.head +: lists.tail.map(l => s"JOIN $l USING (doc_id)")
+      val ps = terms.indices.map(j => s"p$j").mkString(", ")
+      s"""SELECT $qid AS query_id, CAST(rnk AS INT) AS rank, doc_id, round(score_raw, 4) AS score,
+         |    CAST(enc % $enc AS BIGINT) AS snippet_start,
+         |    CAST(enc // $enc AS BIGINT) AS snippet_len
+         |FROM (
+         |  WITH d AS (SELECT doc_id, ${Tokenizer.duckdbTokensSql("text")} AS toks FROM documents),
+         |  tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+         |  tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |  dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |  st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         |                CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+         |  dfq AS (SELECT term, count(*) AS df FROM tf WHERE term IN ($termList) GROUP BY 1),
+         |  topk AS (
+         |    SELECT tf.doc_id,
+         |           sum(${graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")}) AS score_raw,
+         |           row_number() OVER (
+         |             ORDER BY sum(${graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")}) DESC, tf.doc_id) AS rnk
+         |    FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         |    WHERE tf.term IN ($termList)
+         |    GROUP BY tf.doc_id
+         |    HAVING count(DISTINCT tf.term) = ${terms.size}),
+         |  win AS (
+         |    SELECT doc_id, min((greatest($ps) - least($ps) + 1) * $enc + least($ps)) AS enc
+         |    FROM ${joins.mkString("\n    ")}
+         |    GROUP BY doc_id)
+         |  SELECT * FROM topk JOIN win USING (doc_id) WHERE rnk <= $k) x""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY query_id, rank")
+  }
+
   /** Prefix probe: expands against the dictionary (6 terms at every
     * scale factor: scan, slow, small, sort, spark, stream).
     */

@@ -156,6 +156,27 @@ class RetrievalModesSpec extends SparkSpec {
     }
   }
 
+  // ---- snippets ----------------------------------------------------------
+
+  test("snippets: conjunctive hits carry the brute-force minimal window, losslessly") {
+    val queries = Seq((0, "class import return"), (1, "def val"))
+    val k = 10
+    val s = buildPositional(genDocs, buckets = 5)
+    val got = s.snippetMany(queries, k)
+      .select("query_id", "doc_id", "score", "snippet_start", "snippet_len")
+      .as[(Int, Long, Double, Long, Long)].collect().toSeq
+    val conj = bruteConjunctive(genDocs, queries, k)
+    assert(got.size == conj.size, "snippet join dropped or duplicated conjunctive hits")
+    // windows: proximity brute force with no cap, restricted to the hits
+    val prox = bruteProximity(genDocs,
+      queries.map { case (id, q) => (id, q, Int.MaxValue) })
+      .map { case (qid, d, span, start) => (qid, d) -> (start, span) }.toMap
+    got.foreach { case (qid, d, sc, start, len) =>
+      assert(conj.contains((qid, d, sc)), s"hit ($qid,$d,$sc) not in conjunctive brute force")
+      assert(prox((qid, d)) == ((start, len)), s"window for ($qid,$d): got ($start,$len)")
+    }
+  }
+
   // ---- prefix search ----------------------------------------------------
 
   test("prefix search equals disjunctive search over the corpus-derived expansion") {
