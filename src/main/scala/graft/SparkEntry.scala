@@ -56,6 +56,10 @@ object SparkEntry {
     "eng_prefix_search" -> Fulltext.engPrefixSearch _,
     "eng_manifest" -> Fulltext.engManifest _,
     "eng_snippet" -> Fulltext.engSnippet _,
+    "eng_bm25_and_multigen" -> Fulltext.engBm25AndMultiGen _,
+    "eng_proximity_multigen" -> Fulltext.engProximityMultiGen _,
+    "eng_fuzzy_search" -> Fulltext.engFuzzySearch _,
+    "eng_bm25_not" -> Fulltext.engBm25Not _,
     // usearch key-API analogs
     "u_contains" -> UsearchOps.contains _,
     "u_count_key" -> UsearchOps.countKey _,
@@ -184,6 +188,10 @@ object SparkEntry {
     "eng_prefix_search" -> Fulltext.prefixSearchSql(),
     "eng_manifest" -> Fulltext.engManifestSql,
     "eng_snippet" -> Fulltext.engSnippetSql(),
+    "eng_bm25_and_multigen" -> Fulltext.bm25AndTopKManySql(),
+    "eng_proximity_multigen" -> Fulltext.engProximitySql(),
+    "eng_fuzzy_search" -> Fulltext.fuzzySearchSql(),
+    "eng_bm25_not" -> Fulltext.bm25NotSql(),
     "u_contains" -> UsearchOps.containsSql,
     "u_count_key" -> UsearchOps.countKeySql,
     "u_get" -> UsearchOps.getSql,

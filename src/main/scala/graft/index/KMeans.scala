@@ -52,6 +52,12 @@ object KMeans {
     *   aggregation job. Driver-side double comparisons only → the
     *   stopping iteration is a pure function of the data, so the
     *   unrolled-CTE oracle stays valid via the reported iteration count.
+    *   The reference's remaining exit — `max_seconds` wall-clock
+    *   (index_plugins.hpp:2179-2190) — is deliberately NOT implemented:
+    *   a wall-clock stop makes the result a function of machine speed,
+    *   which this engine's rank/value-identity contract (every operator
+    *   a pure function of the data) forbids. Callers wanting a time
+    *   bound should bound `iterations` instead.
     */
   def fit(
       spark: SparkSession,

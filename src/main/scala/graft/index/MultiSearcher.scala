@@ -73,4 +73,35 @@ final class MultiSearcher(spark: SparkSession, roots: Seq[String]) {
       searchers.map(_.searchManyBuckets(queries, k, Some(g), allow = allow))
         .reduce(_ union _), k)
   }
+
+  /** Batched conjunctive (AND) search across generations: union of
+    * per-shard per-bucket partials — complete because a doc lives
+    * entirely in one generation, so its all-terms intersection is decided
+    * shard-locally — each scored with the SAME injected global stats,
+    * then ONE bounded global merge. Multi-gen AND ≡ single-index AND over
+    * the union corpus (RetrievalModesSpec pins it).
+    */
+  def searchConjunctiveMany(queries: Seq[(Int, String)], k: Int): DataFrame = {
+    val allTerms = queries
+      .flatMap { case (_, q) => Tokenizer.tokenize(q) }.distinct.sorted
+    val g = globalStatsFor(allTerms)
+    Searcher.finishMany(
+      searchers.map(_.conjunctiveManyBuckets(queries, k, Some(g)))
+        .reduce(_ union _), k)
+  }
+
+  /** Index-only phrase search across generations — containment needs no
+    * statistics, and generations partition the docs, so the union of
+    * per-shard results IS the union-corpus answer.
+    */
+  def phraseMany(phrases: Seq[(Int, String)]): DataFrame =
+    searchers.map(_.phraseMany(phrases)).reduce(_ union _)
+      .orderBy(col("phrase_id"), col("doc_id"))
+
+  /** Index-only proximity search across generations — same disjoint-union
+    * argument as [[phraseMany]].
+    */
+  def proximityMany(queries: Seq[(Int, String, Int)]): DataFrame =
+    searchers.map(_.proximityMany(queries)).reduce(_ union _)
+      .orderBy(col("query_id"), col("doc_id"))
 }

@@ -396,25 +396,46 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     *
     * Returns (query_id, doc_id, score, rank) ordered (query_id, rank).
     */
-  def searchConjunctiveMany(queries: Seq[(Int, String)], k: Int): DataFrame = {
+  def searchConjunctiveMany(
+      queries: Seq[(Int, String)],
+      k: Int,
+      globalStats: Option[GlobalStats] = None): DataFrame =
+    Searcher.finishMany(conjunctiveManyBuckets(queries, k, globalStats), k)
+
+  /** Per-bucket partials of a batched conjunctive search (same exposure
+    * contract as [[searchManyBuckets]]): a doc lives entirely in ONE
+    * generation, so per-shard intersections are complete and
+    * [[MultiSearcher.searchConjunctiveMany]] can union the partials of
+    * several generations (each scored with injected global stats) and
+    * run ONE bounded global merge.
+    */
+  private[index] def conjunctiveManyBuckets(
+      queries: Seq[(Int, String)],
+      k: Int,
+      globalStats: Option[GlobalStats] = None): DataFrame = {
     val emptyPartial = spark.emptyDataset[(Int, Long, Double)]
       .toDF("query_id", "doc_id", "score")
     val qTerms: Seq[(Int, Array[String])] =
       queries.map { case (id, q) => (id, Tokenizer.tokenize(q).distinct.sorted) }
         .filter(_._2.nonEmpty)
-    if (qTerms.isEmpty) return Searcher.finishMany(emptyPartial, k)
+    if (qTerms.isEmpty) return emptyPartial
     val localRows = dictRows(qTerms.flatMap(_._2).distinct.sorted)
+    val g = globalStats.getOrElse(
+      GlobalStats(stats.nDocs, stats.avgdl, localRows.map { case (t, d) => t -> d.df }))
+    // conjunctive liveness is LOCAL: a doc lives entirely in this shard,
+    // so every term needs local postings here — but idf is global, so
+    // scores merge correctly across generations
     val live = qTerms.filter { case (_, ts) =>
-      ts.forall(t => localRows.get(t).exists(_.df > 0L))
+      ts.forall(t => localRows.get(t).exists(_.df > 0L) && g.dfByTerm.getOrElse(t, 0L) > 0L)
     }
-    if (live.isEmpty) return Searcher.finishMany(emptyPartial, k)
+    if (live.isEmpty) return emptyPartial
     val liveTerms = live.flatMap(_._2).distinct.sorted
-    val idfByTerm = liveTerms.map(t => t -> Bm25.idf(localRows(t).df, stats.nDocs)).toMap
+    val idfByTerm = liveTerms.map(t => t -> Bm25.idf(g.dfByTerm(t), g.nDocs)).toMap
     val queryBuckets: Map[Int, Set[Int]] = live.map { case (id, ts) =>
       id -> ts.iterator.map(t => localRows(t).buckets.toSet).reduce(_ intersect _)
     }.toMap
     val buckets = queryBuckets.values.flatten.toSeq.distinct
-    if (buckets.isEmpty) return Searcher.finishMany(emptyPartial, k)
+    if (buckets.isEmpty) return emptyPartial
 
     val postings = spark.read.parquet(layout.segments).as[PostingRow]
       .where($"term".isin(liveTerms: _*) && $"bucket".isin(buckets: _*))
@@ -424,9 +445,9 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     val qsB = spark.sparkContext.broadcast(live.toArray)
     val qbB = spark.sparkContext.broadcast(queryBuckets)
     val kLocal = k
-    val avgdlLocal = stats.avgdl
+    val avgdlLocal = g.avgdl
 
-    val perBucket = postings
+    postings
       .groupByKey(_.bucket)
       .cogroup(doclens.groupByKey(_.bucket)) { (bucket, posts, lens) =>
         val postsArr = posts.toArray
@@ -443,7 +464,6 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
         }
       }
       .toDF("query_id", "doc_id", "score")
-    Searcher.finishMany(perBucket, k)
   }
 
   /** PREFIX-expanded top-k search (the dictionary-driven `term*` wildcard
@@ -554,6 +574,10 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     * /root/reference/include/usearch/index_dense.hpp:774-779) — non-
     * matching docs never enter the top-k buffer, so ranks come from the
     * filtered set, not a post-filter of unfiltered top-k.
+    *
+    * `negQuery`: boolean NOT terms (see [[searchNot]]) — their postings
+    * ride the same pruned scan and become a bucket-local exclusion
+    * composed with `allow`; scoring and ranking are otherwise untouched.
     */
   def search(
       query: String,
@@ -561,11 +585,18 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
       exact: Boolean = false,
       allow: Option[Long => Boolean] = None,
       globalStats: Option[GlobalStats] = None,
-      counters: Option[SearchCounters] = None): DataFrame = {
+      counters: Option[SearchCounters] = None,
+      negQuery: String = ""): DataFrame = {
+    val negTerms = Tokenizer.tokenize(negQuery).distinct.sorted
+    // a term both offered and forbidden can never contribute: every doc
+    // containing it is excluded, so the negation wins per-term at
+    // planning (Lucene's SHOULD/MUST_NOT resolution) and dropping it
+    // from the scoring list changes no surviving doc's score
     val qTerms = Tokenizer.tokenize(query).distinct.sorted
+      .filterNot(negTerms.contains)
     // ONE pruned dictionary read plans the whole query: dfs (scoring),
     // term existence, and the bucket partitions to touch
-    val local = dictRows(qTerms)
+    val local = dictRows((qTerms ++ negTerms).distinct.sorted)
     // idf from global stats when searching as one shard of a multi-index
     // (the `Indexes` scatter-gather analog): every shard must score with
     // the same N/df/avgdl or the merged ranking is meaningless
@@ -593,13 +624,24 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     if (touchedBuckets.isEmpty)
       return spark.emptyDataset[Hit].toDF("doc_id", "score")
 
+    // negated terms: postings read alongside the positive ones (same
+    // pruned scan — term IN over both lists, buckets only where a
+    // positive term can produce a hit), decoded into a bucket-LOCAL
+    // exclusion array inside the cogroup. Nothing about the negation
+    // ever reaches the driver or a broadcast of doc ids: the excluded
+    // set is built where the postings already live, bounded by the
+    // bucket-width geometry like every other per-bucket structure.
+    val negLive = negTerms.filter(t => local.get(t).exists(_.df > 0L))
+    val scanTerms = (termList ++ negLive).distinct
+
     val postings = spark.read.parquet(layout.segments).as[PostingRow]
-      .where($"term".isin(termList: _*) && $"bucket".isin(touchedBuckets: _*))
+      .where($"term".isin(scanTerms: _*) && $"bucket".isin(touchedBuckets: _*))
     val doclens = doclensDS
       .where($"bucket".isin(touchedBuckets: _*))
 
     val idfB = spark.sparkContext.broadcast(idfByTerm)
     val allowB = spark.sparkContext.broadcast(allow)
+    val negB = spark.sparkContext.broadcast(negLive.toSet)
     val kLocal = k
     val exactLocal = exact
     val avgdlLocal = g.avgdl
@@ -620,9 +662,24 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
             s"index invariant violated: bucket $bucket has postings but no doclens row ($root)")
         else {
           val dl = lensArr.head
+          val negSet = negB.value
+          val (negRows, posRows) =
+            if (negSet.isEmpty) (Array.empty[PostingRow], postsArr)
+            else postsArr.partition(r => negSet.contains(r.term))
+          val effAllow: Option[Long => Boolean] =
+            if (negRows.isEmpty) allowB.value
+            else {
+              val excluded = negRows.flatMap(r =>
+                PostingCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq).docIds)
+              java.util.Arrays.sort(excluded)
+              val user = allowB.value
+              Some((id: Long) =>
+                java.util.Arrays.binarySearch(excluded, id) < 0 &&
+                  user.forall(_(id)))
+            }
           Searcher.wandBucket(
-            postsArr, dl, idfB.value, avgdlLocal, ubScaleLocal,
-            kLocal, exactLocal, allowB.value, counters = countersLocal)
+            posRows, dl, idfB.value, avgdlLocal, ubScaleLocal,
+            kLocal, exactLocal, effAllow, counters = countersLocal)
         }
       }
 
@@ -634,6 +691,57 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
 
   /** Exact search convenience (full scoring, no pruning). */
   def searchExact(query: String, k: Int): DataFrame = search(query, k, exact = true)
+
+  /** Boolean AND-NOT search (`term -term` mode): the top-k over documents
+    * matching ANY positive term and NO negative term, scored on the
+    * positive terms only with the identical sorted-term BM25 fold — the
+    * predicate-during-scoring contract of `filtered_search`
+    * (/root/reference/include/usearch/index_dense.hpp:774-779) with the
+    * predicate itself derived from the index: negative postings are
+    * decoded bucket-locally into an exclusion array inside the same
+    * cogroup that scores, so ranks come from the filtered set and no doc
+    * ids ever move to the driver. A term both offered and forbidden
+    * resolves to the negation (SHOULD/MUST_NOT): it is dropped from
+    * scoring at planning, exactly value-preserving since every doc
+    * containing it is excluded anyway.
+    */
+  def searchNot(query: String, negQuery: String, k: Int,
+      exact: Boolean = false): DataFrame =
+    search(query, k, exact = exact, negQuery = negQuery)
+
+  /** FUZZY-expanded top-k search (the `term~d` edit-distance query):
+    * expand the probe against the term dictionary — ONE distributed
+    * pruned read, a cheap length band plus Spark's thresholded
+    * `levenshtein` doing the work executor-side, only matches collected —
+    * then score the expansion as a disjunctive BM25 query through the
+    * ordinary [[search]] path (each matched term weighted by its own
+    * idf, exactly the [[searchPrefix]] contract). `maxExpansion` bounds
+    * the planning fan-out loudly, same as prefix search.
+    */
+  def searchFuzzy(probe: String, k: Int, maxDist: Int = 1,
+      maxExpansion: Int = 1024): DataFrame = {
+    val toks = Tokenizer.tokenize(probe)
+    require(toks.length == 1,
+      s"fuzzy probe must normalize to exactly one token, got '$probe'")
+    require(maxDist >= 0 && maxDist <= 4, s"maxDist must be in [0,4], got $maxDist")
+    val q = toks.head
+    val expanded: Seq[String] =
+      if (cacheHot)
+        hotDict.keysIterator
+          .filter(t => Searcher.levWithin(t, q, maxDist)).toSeq.sorted
+      else
+        dictDS
+          .where(abs(length($"term") - lit(q.length)) <= lit(maxDist) &&
+            levenshtein($"term", lit(q), maxDist) >= 0)
+          .select("term").as[String].collect().toSeq.sorted
+    if (expanded.size > maxExpansion)
+      throw new IllegalArgumentException(
+        s"probe '$q'~$maxDist expands to ${expanded.size} terms (> $maxExpansion) — " +
+          "lower maxDist or raise maxExpansion")
+    if (expanded.isEmpty)
+      return spark.emptyDataset[Hit].toDF("doc_id", "score")
+    search(expanded.mkString(" "), k)
+  }
 
   /** Batch search: all queries answered in ONE distributed pass — the
     * per-row task fan-out of the reference's batched `search_many`
@@ -732,6 +840,34 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
 }
 
 object Searcher {
+
+  /** Driver-side bounded edit distance for the hot-dictionary fuzzy
+    * expansion — the textbook two-row DP with the standard band cutoff,
+    * semantically identical to Spark's and DuckDB's `levenshtein` (the
+    * distributed path and the oracle both use those; this one only runs
+    * over the already-resident serving-mode dictionary).
+    */
+  private[graft] def levWithin(a: String, b: String, maxDist: Int): Boolean = {
+    if (math.abs(a.length - b.length) > maxDist) return false
+    var prev = Array.tabulate(b.length + 1)(identity)
+    var cur = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      var rowMin = i
+      var j = 1
+      while (j <= b.length) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        if (cur(j) < rowMin) rowMin = cur(j)
+        j += 1
+      }
+      if (rowMin > maxDist) return false
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(b.length) <= maxDist
+  }
 
   /** Verify a phrase inside one bucket given decoded positional postings.
     * Emits (docId, occurrence count > 0) in ascending docId order of the

@@ -111,7 +111,11 @@ object Fulltext {
       .select(col("doc_id"), round(col("score_raw"), 4).as("score"))
   }
 
-  /** DuckDB oracle for [[bm25TopK]] — same math, scalars via subqueries. */
+  /** DuckDB oracle for [[bm25TopK]] — same math, scalars via subqueries.
+    * The per-doc accumulation is the deterministic [[foldScoreSqlAny]]
+    * (not a bare `sum()` whose addition order DuckDB may vary run to run
+    * — near-duplicate docs tie at the last ulp and would flip ranks).
+    */
   def bm25TopKSql(
       queryTerms: Seq[String] = RefQuery,
       k: Int = K,
@@ -128,7 +132,7 @@ object Fulltext {
        |dfq AS (SELECT term, count(*) AS df FROM tf WHERE term IN ($termList) GROUP BY 1),
        |scores AS (
        |  SELECT tf.doc_id,
-       |         sum(${graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")}) AS score_raw
+       |         ${foldScoreSqlAny(terms)} AS score_raw
        |  FROM tf
        |  JOIN dfq USING (term)
        |  JOIN dl USING (doc_id)
@@ -140,6 +144,16 @@ object Fulltext {
        |ORDER BY score_raw DESC, doc_id
        |LIMIT $k""".stripMargin
   }
+
+  /** [[foldScoreSql]] for DISJUNCTIVE queries: a doc may lack a term, so
+    * each contribution is COALESCE'd to 0.0 — `x + 0.0` is exactly `x`
+    * for the strictly-positive BM25 contributions, so the fold equals the
+    * engine's present-terms-only sorted left fold bit-for-bit.
+    */
+  private def foldScoreSqlAny(terms: Seq[String]): String =
+    terms.map(t =>
+      s"COALESCE(MAX(CASE WHEN tf.term = '$t' THEN ${graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")} END), 0.0)")
+      .mkString("(", " + ", ")")
 
   // ------------------------------------------------------------------
   // BM25 top-k — engine path (segments + block-max WAND)
@@ -279,13 +293,29 @@ object Fulltext {
         round(col("score"), 4).as("score"))
   }
 
+  /** Fixed-order per-doc score fold for a known sorted term list:
+    * `MAX(CASE WHEN term=t THEN part END)` picks each term's single
+    * contribution exactly, and the explicit `+` chain adds them in
+    * sorted-term order — bit-identical to the engine's left fold. A bare
+    * `sum()` would let DuckDB's parallel aggregation order vary run to
+    * run in the last ulp, flipping ranks between docs whose profiles tie
+    * (near-duplicate corpora make such ties COMMON — two identical docs
+    * once ranked differently across runs; this fold is the fix).
+    */
+  private def foldScoreSql(terms: Seq[String]): String =
+    terms.map(t =>
+      s"MAX(CASE WHEN tf.term = '$t' THEN ${graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")} END)")
+      .mkString("(", " + ", ")")
+
   /** UNION ALL of per-query oracles — [[bm25TopKManySql]]'s math with a
-    * `HAVING count(DISTINCT term) = m` conjunctive gate.
+    * `HAVING count(DISTINCT term) = m` conjunctive gate and the
+    * deterministic [[foldScoreSql]] accumulation.
     */
   def bm25AndTopKManySql(queries: Seq[(Int, String)] = AndQueries, k: Int = K): String =
     queries.map { case (qid, q) =>
       val terms = Tokenizer.tokenize(q).distinct.sorted.toSeq
       val termList = terms.map(t => s"'$t'").mkString(", ")
+      val fold = foldScoreSql(terms)
       s"""SELECT $qid AS query_id, CAST(rnk AS INT) AS rank, doc_id, round(score_raw, 4) AS score FROM (
          |  WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
          |  tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -294,9 +324,9 @@ object Fulltext {
          |                CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
          |  dfq AS (SELECT term, count(*) AS df FROM tf WHERE term IN ($termList) GROUP BY 1)
          |  SELECT tf.doc_id,
-         |         sum(${graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")}) AS score_raw,
+         |         $fold AS score_raw,
          |         row_number() OVER (
-         |           ORDER BY sum(${graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")}) DESC, tf.doc_id) AS rnk
+         |           ORDER BY $fold DESC, tf.doc_id) AS rnk
          |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
          |  WHERE tf.term IN ($termList)
          |  GROUP BY tf.doc_id
@@ -330,6 +360,7 @@ object Fulltext {
       }
       val joins = lists.head +: lists.tail.map(l => s"JOIN $l USING (doc_id)")
       val ps = terms.indices.map(j => s"p$j").mkString(", ")
+      val fold = foldScoreSql(terms)
       s"""SELECT $qid AS query_id, CAST(rnk AS INT) AS rank, doc_id, round(score_raw, 4) AS score,
          |    CAST(enc % $enc AS BIGINT) AS snippet_start,
          |    CAST(enc // $enc AS BIGINT) AS snippet_len
@@ -343,9 +374,9 @@ object Fulltext {
          |  dfq AS (SELECT term, count(*) AS df FROM tf WHERE term IN ($termList) GROUP BY 1),
          |  topk AS (
          |    SELECT tf.doc_id,
-         |           sum(${graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")}) AS score_raw,
+         |           $fold AS score_raw,
          |           row_number() OVER (
-         |             ORDER BY sum(${graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")}) DESC, tf.doc_id) AS rnk
+         |             ORDER BY $fold DESC, tf.doc_id) AS rnk
          |    FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
          |    WHERE tf.term IN ($termList)
          |    GROUP BY tf.doc_id
@@ -388,7 +419,7 @@ object Fulltext {
        |dfq AS (SELECT term, count(*) AS df FROM tf WHERE term LIKE '$prefix%' GROUP BY 1),
        |scores AS (
        |  SELECT tf.doc_id,
-       |         sum(${graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")}) AS score_raw
+       |         list_aggregate(list(${graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")} ORDER BY tf.term), 'sum') AS score_raw
        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
        |  WHERE tf.term LIKE '$prefix%'
        |  GROUP BY tf.doc_id)
@@ -396,6 +427,138 @@ object Fulltext {
        |FROM scores
        |ORDER BY score_raw DESC, doc_id
        |LIMIT $k""".stripMargin
+
+  /** Fuzzy probe set: (query_id, probe, maxDist). One multi-term
+    * expansion (part~2 → fast/part/sort on this vocabulary), two typo
+    * corrections (mergee~1 → merge, qury~1 → query), one expansion-empty
+    * canary. The oracle recomputes every expansion itself, so the fixed
+    * probes stay honest even if the vocabulary drifts.
+    */
+  final val FuzzyQueries: Seq[(Int, String, Int)] = Seq(
+    (0, "part", 2),
+    (1, "mergee", 1),
+    (2, "qury", 1),
+    (3, "zzzz", 1))
+
+  /** Dictionary-driven FUZZY search (`term~d`): expand each probe over
+    * the term dictionary within edit distance d (one distributed pruned
+    * read — length band + thresholded levenshtein executor-side), then
+    * rank the expansion as a disjunctive BM25 query, each matched term
+    * weighted by its own idf ([[graft.index.Searcher.searchFuzzy]]).
+    * Rank is computed over the raw doubles of each query's k rows.
+    */
+  def engFuzzySearch(spark: SparkSession, dir: String): DataFrame = {
+    val s = indexFor(spark, dir)
+    val per = FuzzyQueries.map { case (qid, probe, d) =>
+      s.searchFuzzy(probe, K, maxDist = d)
+        .select(lit(qid).as("query_id"), col("doc_id"), col("score"))
+    }.reduce(_ unionAll _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+    per
+      .select(col("query_id"), row_number().over(w).as("rank"),
+        col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle: the expansion recomputed in SQL (`levenshtein(term, probe)
+    * <= d` over the distinct-term dictionary), scored with the
+    * deterministic sorted-term `list_aggregate` fold (the term set is
+    * SQL-derived, so the literal fold can't apply).
+    */
+  def fuzzySearchSql(queries: Seq[(Int, String, Int)] = FuzzyQueries, k: Int = K): String = {
+    val selects = queries.map { case (qid, probe, d) =>
+      val q = Tokenizer.tokenize(probe).head
+      s"""SELECT $qid AS query_id, CAST(rnk AS INT) AS rank, doc_id, round(score_raw, 4) AS score FROM (
+         |  WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+         |  tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |  dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |  st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         |                CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+         |  exp AS (SELECT DISTINCT term FROM tf WHERE levenshtein(term, '$q') <= $d),
+         |  dfq AS (SELECT term, count(*) AS df FROM tf WHERE term IN (SELECT term FROM exp) GROUP BY 1)
+         |  SELECT tf.doc_id,
+         |         list_aggregate(list(${graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")} ORDER BY tf.term), 'sum') AS score_raw,
+         |         row_number() OVER (
+         |           ORDER BY list_aggregate(list(${graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")} ORDER BY tf.term), 'sum') DESC, tf.doc_id) AS rnk
+         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         |  WHERE tf.term IN (SELECT term FROM exp)
+         |  GROUP BY tf.doc_id) x
+         |WHERE rnk <= $k""".stripMargin
+    }
+    s"""SELECT query_id, rank, doc_id, score FROM (
+       |${selects.mkString("\nUNION ALL\n")}
+       |) u ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Boolean AND-NOT probe set: (query_id, positive terms, negated
+    * terms). One common negation, one multi-term negation, one
+    * dictionary-absent negation (reduces to plain disjunctive search),
+    * one dead-positive canary, one pos∩neg overlap (the negation wins
+    * per-term: `batch` is dropped from scoring, its docs excluded).
+    */
+  final val NotQueries: Seq[(Int, String, String)] = Seq(
+    (0, "spark merge dup", "slow"),
+    (1, "key hash join", "customer table"),
+    (2, "dup stream", "quantum"),
+    (3, "quantum flux", "spark"),
+    (4, "merge dup batch", "batch"))
+
+  /** Boolean AND-NOT search (`term -term` mode): top-k over docs
+    * matching ANY positive term and NO negated term, scored on the
+    * positive terms with the identical sorted-term fold — the negated
+    * postings ride the same pruned scan and become a bucket-local
+    * exclusion during scoring ([[graft.index.Searcher.searchNot]]), so
+    * ranks come from the filtered set and nothing moves to the driver.
+    */
+  def engBm25Not(spark: SparkSession, dir: String): DataFrame = {
+    val s = indexFor(spark, dir)
+    val per = NotQueries.map { case (qid, pos, neg) =>
+      s.searchNot(pos, neg, K)
+        .select(lit(qid).as("query_id"), col("doc_id"), col("score"))
+    }.reduce(_ unionAll _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+    per
+      .select(col("query_id"), row_number().over(w).as("rank"),
+        col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle: positive-term disjunctive scoring (deterministic literal
+    * fold over the engine's effective term list, pos \ neg) with an
+    * anti-join against the negated terms' doc set. df for idf is the
+    * UNFILTERED document frequency — idf comes from the dictionary, not
+    * the surviving set, exactly as the engine scores.
+    */
+  def bm25NotSql(queries: Seq[(Int, String, String)] = NotQueries, k: Int = K): String = {
+    val selects = queries.map { case (qid, pos, neg) =>
+      val nts = Tokenizer.tokenize(neg).distinct.sorted.toSeq
+      val pts = Tokenizer.tokenize(pos).distinct.sorted.toSeq.filterNot(nts.contains)
+      val posList = pts.map(t => s"'$t'").mkString(", ")
+      val negList = nts.map(t => s"'$t'").mkString(", ")
+      val fold = foldScoreSqlAny(pts)
+      s"""SELECT $qid AS query_id, CAST(rnk AS INT) AS rank, doc_id, round(score_raw, 4) AS score FROM (
+         |  WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+         |  tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |  dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |  st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         |                CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+         |  dfq AS (SELECT term, count(*) AS df FROM tf WHERE term IN ($posList) GROUP BY 1)
+         |  SELECT tf.doc_id,
+         |         $fold AS score_raw,
+         |         row_number() OVER (
+         |           ORDER BY $fold DESC, tf.doc_id) AS rnk
+         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         |  WHERE tf.term IN ($posList)
+         |    AND tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term IN ($negList))
+         |  GROUP BY tf.doc_id) x
+         |WHERE rnk <= $k""".stripMargin
+    }
+    s"""SELECT query_id, rank, doc_id, score FROM (
+       |${selects.mkString("\nUNION ALL\n")}
+       |) u ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Build-lineage metrics probe (the north rule's per-partition lineage
     * + metrics tables, surfaced as a queryable entry): the committed
@@ -489,6 +652,7 @@ object Fulltext {
       val terms = Tokenizer.tokenize(q).distinct.sorted.toSeq
       val termList = terms.map(t => s"'$t'").mkString(", ")
       val filterClause = if (docFilterSql.isEmpty) "" else s" AND $docFilterSql"
+      val fold = foldScoreSqlAny(terms)
       s"""SELECT $qid AS query_id, CAST(rnk AS INT) AS rank, doc_id, round(score_raw, 4) AS score FROM (
          |  WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
          |  tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -497,9 +661,9 @@ object Fulltext {
          |                CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
          |  dfq AS (SELECT term, count(*) AS df FROM tf WHERE term IN ($termList) GROUP BY 1)
          |  SELECT tf.doc_id,
-         |         sum(${graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")}) AS score_raw,
+         |         $fold AS score_raw,
          |         row_number() OVER (
-         |           ORDER BY sum(${graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")}) DESC, tf.doc_id) AS rnk
+         |           ORDER BY $fold DESC, tf.doc_id) AS rnk
          |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
          |  WHERE tf.term IN ($termList)$filterClause
          |  GROUP BY tf.doc_id) x
@@ -614,7 +778,7 @@ object Fulltext {
        |        ORDER BY d.df, q.tf DESC, q.term LIMIT $nSel),
        |scores AS (
        |  SELECT tf.doc_id,
-       |         sum(${graft.query.Bm25.sqlScore("tf.tf", "sel.df", "dl.dl", "st.n", "st.avgdl")}) AS score_raw
+       |         list_aggregate(list(${graft.query.Bm25.sqlScore("tf.tf", "sel.df", "dl.dl", "st.n", "st.avgdl")} ORDER BY tf.term), 'sum') AS score_raw
        |  FROM tf JOIN sel USING (term) JOIN dl USING (doc_id) CROSS JOIN st
        |  WHERE tf.doc_id <> $qDoc
        |  GROUP BY tf.doc_id)
@@ -688,9 +852,9 @@ object Fulltext {
          |  sel AS (SELECT q.term, d.df FROM qtf q JOIN dfq d USING (term)
          |          ORDER BY d.df, q.tf DESC, q.term LIMIT $nSel)
          |  SELECT tf.doc_id,
-         |         sum(${graft.query.Bm25.sqlScore("tf.tf", "sel.df", "dl.dl", "st.n", "st.avgdl")}) AS score_raw,
+         |         list_aggregate(list(${graft.query.Bm25.sqlScore("tf.tf", "sel.df", "dl.dl", "st.n", "st.avgdl")} ORDER BY tf.term), 'sum') AS score_raw,
          |         row_number() OVER (
-         |           ORDER BY sum(${graft.query.Bm25.sqlScore("tf.tf", "sel.df", "dl.dl", "st.n", "st.avgdl")}) DESC, tf.doc_id) AS rnk
+         |           ORDER BY list_aggregate(list(${graft.query.Bm25.sqlScore("tf.tf", "sel.df", "dl.dl", "st.n", "st.avgdl")} ORDER BY tf.term), 'sum') DESC, tf.doc_id) AS rnk
          |  FROM tf JOIN sel USING (term) JOIN dl USING (doc_id) CROSS JOIN st
          |  WHERE tf.doc_id <> $qd
          |  GROUP BY tf.doc_id) x
@@ -718,10 +882,32 @@ object Fulltext {
       .select(col("query_id"), col("rank"), col("doc_id"),
         round(col("score"), 4).as("score"))
 
-  /** The corpus split into two disjoint generations (cached index roots,
-    * shared by the multigen entries).
+  /** Multi-generation CONJUNCTIVE search: per-shard all-terms
+    * intersections (complete shard-locally — a doc lives in one
+    * generation) scored with shared global stats, one bounded merge.
+    * Same oracle as the single-index AND entry, because the generations
+    * partition the corpus.
     */
-  private def mgenSearcher(spark: SparkSession, dir: String): graft.index.MultiSearcher = {
+  def engBm25AndMultiGen(spark: SparkSession, dir: String): DataFrame =
+    mgenSearcher(spark, dir)
+      .searchConjunctiveMany(AndQueries, K)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+
+  /** Multi-generation index-only PROXIMITY search: union of per-shard
+    * positional sweeps (disjoint doc spaces — containment needs no
+    * statistics). Same oracle as the single-index entry.
+    */
+  def engProximityMultiGen(spark: SparkSession, dir: String): DataFrame =
+    mgenSearcher(spark, dir, positional = true).proximityMany(ProximityQueries)
+
+  /** The corpus split into two disjoint generations (cached index roots,
+    * shared by the multigen entries). `positional = true` also builds
+    * each generation's positions sidecar (its own committed stage —
+    * a later frequency-only caller reuses the same roots untouched).
+    */
+  private def mgenSearcher(spark: SparkSession, dir: String,
+      positional: Boolean = false): graft.index.MultiSearcher = {
     val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
     val tmp = sys.props("java.io.tmpdir")
     val d = docs(spark, dir)
@@ -731,6 +917,12 @@ object Fulltext {
       idCol = "doc_id", textCol = "text")
     IndexBuilder.build(spark, d.where(col("doc_id") % 2 === 1), rootB,
       idCol = "doc_id", textCol = "text")
+    if (positional) {
+      IndexBuilder.buildPositions(spark, d.where(col("doc_id") % 2 === 0), rootA,
+        idCol = "doc_id", textCol = "text")
+      IndexBuilder.buildPositions(spark, d.where(col("doc_id") % 2 === 1), rootB,
+        idCol = "doc_id", textCol = "text")
+    }
     new graft.index.MultiSearcher(spark, Seq(rootA, rootB))
   }
 }

@@ -156,6 +156,39 @@ class RetrievalModesSpec extends SparkSpec {
     }
   }
 
+  // ---- multi-generation --------------------------------------------------
+
+  test("multi-gen conjunctive/proximity/phrase equal the single union index") {
+    val (genA, genB) = genDocs.partition(_._1 < 150)
+    def buildGen(docs: Seq[(Long, String)]): String = {
+      val root = Files.createTempDirectory("graft-idx-rmgen-").toString
+      val df = docs.toDF("doc_id", "content")
+      IndexBuilder.build(spark, df, root, targetBuckets = 3)
+      IndexBuilder.buildPositions(spark, df, root)
+      root
+    }
+    val multi = new graft.index.MultiSearcher(spark,
+      Seq(buildGen(genA), buildGen(genB)))
+    val single = buildPositional(genDocs, buckets = 5)
+
+    val qs = Seq((0, "class import return"), (1, "def val"))
+    val mConj = multi.searchConjunctiveMany(qs, 10)
+      .as[(Int, Long, Double, Int)].collect().toSeq
+    val sConj = single.searchConjunctiveMany(qs, 10)
+      .as[(Int, Long, Double, Int)].collect().toSeq
+    assert(mConj.nonEmpty && mConj == sConj, "multi-gen conjunctive diverged")
+
+    val pq = Seq((0, "def class", 6), (1, "import return static", 10))
+    val mProx = multi.proximityMany(pq).as[(Int, Long, Long, Long)].collect().toSeq
+    val sProx = single.proximityMany(pq).as[(Int, Long, Long, Long)].collect().toSeq
+    assert(mProx.nonEmpty && mProx == sProx, "multi-gen proximity diverged")
+
+    val ph = Seq((0, "def class"), (1, "import return"))
+    val mPh = multi.phraseMany(ph).as[(Int, Long, Long)].collect().toSeq
+    val sPh = single.phraseMany(ph).as[(Int, Long, Long)].collect().toSeq
+    assert(mPh == sPh, "multi-gen phrase diverged")
+  }
+
   // ---- snippets ----------------------------------------------------------
 
   test("snippets: conjunctive hits carry the brute-force minimal window, losslessly") {
@@ -192,5 +225,62 @@ class RetrievalModesSpec extends SparkSpec {
     assert(e.getMessage.contains("expands to"))
     // no matching term → empty result, no job storm
     assert(s.searchPrefix("zzzz", 10).count() == 0L)
+  }
+
+  // ---- fuzzy -------------------------------------------------------------
+
+  test("fuzzy search equals disjunctive search over the brute-force expansion") {
+    val s = buildPositional(genDocs, buckets = 5)
+    val dict = genDocs.flatMap(d => Tokenizer.tokenize(d._2)).distinct.sorted
+    // guard the driver-side DP itself with hand-pinned distances
+    assert(Searcher.levWithin("clas", "clas", 0))
+    assert(Searcher.levWithin("clas", "class", 1) && !Searcher.levWithin("clas", "class", 0))
+    assert(Searcher.levWithin("val", "case", 3) && !Searcher.levWithin("val", "case", 2))
+    assert(!Searcher.levWithin("zzzz", "class", 3))
+    for ((probe, d) <- Seq(("clas", 1), ("impor", 1), ("id10", 1))) {
+      val expansion = dict.filter(t => Searcher.levWithin(t, probe, d))
+      assert(expansion.nonEmpty, s"vacuous fixture: $probe~$d expands to nothing")
+      val got = s.searchFuzzy(probe, 10, maxDist = d).as[(Long, Double)].collect().toSeq
+      val want = s.search(expansion.mkString(" "), 10).as[(Long, Double)].collect().toSeq
+      assert(got == want, s"fuzzy $probe~$d diverged")
+    }
+    // empty expansion → empty result, no job storm; loud over-expansion
+    assert(s.searchFuzzy("zzzz", 10, maxDist = 1).count() == 0L)
+    val e = intercept[IllegalArgumentException](
+      s.searchFuzzy("id10", 10, maxDist = 1, maxExpansion = 1))
+    assert(e.getMessage.contains("expands to"))
+  }
+
+  // ---- boolean NOT -------------------------------------------------------
+
+  test("AND-NOT: bit-identical to the filtered-exact oracle; neg resolution rules") {
+    val s = buildPositional(genDocs, buckets = 5)
+    val oracle = new graft.oracle.ExactScorer(genDocs.toIndexedSeq)
+    def excludedBy(neg: String): Set[Long] = {
+      val nts = Tokenizer.tokenize(neg).distinct.toSet
+      genDocs.filter(d => Tokenizer.tokenize(d._2).exists(nts)).map(_._1).toSet
+    }
+    for ((pos, neg) <- Seq(
+        ("def class import", "lambda"),
+        ("static void", "struct include"),
+        ("class import return", "return"))) {  // overlap: negation wins per-term
+      val excl = excludedBy(neg)
+      val negSet = Tokenizer.tokenize(neg).distinct.toSet
+      val effPos = Tokenizer.tokenize(pos).distinct.filterNot(negSet).mkString(" ")
+      val want = oracle.search(effPos, genDocs.size)
+        .filterNot(h => excl(h._1)).take(10).toSeq
+      val got = s.searchNot(pos, neg, 10).as[(Long, Double)].collect().toSeq
+      assert(got == want, s"searchNot($pos, -$neg) diverged")
+      assert(got.nonEmpty, s"vacuous fixture: ($pos, -$neg) returned nothing")
+      // cross-path: the bucket-local exclusion equals the allow-predicate path
+      val viaAllow = s.search(effPos, 10, allow = Some(id => !excl(id)))
+        .as[(Long, Double)].collect().toSeq
+      assert(got == viaAllow, s"bucket-local exclusion != allow path for ($pos, -$neg)")
+    }
+    // dict-absent negation reduces to plain search
+    assert(s.searchNot("def val", "quantum", 10).as[(Long, Double)].collect().toSeq
+      == s.search("def val", 10).as[(Long, Double)].collect().toSeq)
+    // dead positive → empty
+    assert(s.searchNot("quantum flux", "def", 10).count() == 0L)
   }
 }
