@@ -60,6 +60,7 @@ object SparkEntry {
     "eng_proximity_multigen" -> Fulltext.engProximityMultiGen _,
     "eng_fuzzy_search" -> Fulltext.engFuzzySearch _,
     "eng_bm25_not" -> Fulltext.engBm25Not _,
+    "eng_bool_query" -> Fulltext.engBoolQuery _,
     // usearch key-API analogs
     "u_contains" -> UsearchOps.contains _,
     "u_count_key" -> UsearchOps.countKey _,
@@ -192,6 +193,7 @@ object SparkEntry {
     "eng_proximity_multigen" -> Fulltext.engProximitySql(),
     "eng_fuzzy_search" -> Fulltext.fuzzySearchSql(),
     "eng_bm25_not" -> Fulltext.bm25NotSql(),
+    "eng_bool_query" -> Fulltext.boolQuerySql(),
     "u_contains" -> UsearchOps.containsSql,
     "u_count_key" -> UsearchOps.countKeySql,
     "u_get" -> UsearchOps.getSql,

@@ -743,6 +743,219 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     search(expanded.mkString(" "), k)
   }
 
+  /** Batched fuzzy search: every probe expanded in ONE dictionary scan —
+    * a coarse length band over the whole batch is the pushable predicate
+    * (edit distance itself can't push down), the per-(probe, term)
+    * bounded DP runs executor-side, and only the matches are collected
+    * (bounded by `maxExpansion` per probe, loudly). The expansions then
+    * ride ONE [[searchMany]] TAAT pass, so shared hot-term postings are
+    * decoded and traversed once for the whole batch. Per-probe results
+    * are bit-identical to [[searchFuzzy]] (RetrievalModesSpec pins it):
+    * the expansion sets are equal and searchMany ≡ search is the
+    * EngineSpec gate. Returns (query_id, doc_id, score, rank) ordered
+    * (query_id, rank).
+    */
+  def searchFuzzyMany(probes: Seq[(Int, String, Int)], k: Int,
+      maxExpansion: Int = 1024): DataFrame = {
+    val norm: Seq[(Int, String, Int)] = probes.map { case (id, p, d) =>
+      val toks = Tokenizer.tokenize(p)
+      require(toks.length == 1,
+        s"fuzzy probe must normalize to exactly one token, got '$p'")
+      require(d >= 0 && d <= 4, s"maxDist must be in [0,4], got $d")
+      (id, toks.head, d)
+    }
+    val emptyMany = spark.emptyDataset[(Int, Long, Double, Int)]
+      .toDF("query_id", "doc_id", "score", "rank")
+    if (norm.isEmpty) return emptyMany
+    val pairs: Seq[(Int, String)] =
+      if (cacheHot)
+        norm.flatMap { case (id, q, d) =>
+          hotDict.keysIterator.filter(t => Searcher.levWithin(t, q, d)).map(id -> _)
+        }
+      else {
+        val lenMin = norm.iterator.map { case (_, q, d) => q.length - d }.min
+        val lenMax = norm.iterator.map { case (_, q, d) => q.length + d }.max
+        val pb = spark.sparkContext.broadcast(norm.toArray)
+        dictDS
+          .where(length($"term").between(lenMin, lenMax))
+          .select("term").as[String]
+          .flatMap(t => pb.value.iterator.collect {
+            case (id, q, d) if Searcher.levWithin(t, q, d) => (id, t)
+          })
+          .collect().toSeq
+      }
+    val byProbe: Map[Int, Seq[String]] =
+      pairs.groupBy(_._1).map { case (id, ps) => id -> ps.map(_._2).distinct.sorted }
+    byProbe.foreach { case (id, ts) =>
+      if (ts.size > maxExpansion) {
+        val q = norm.find(_._1 == id).get._2
+        throw new IllegalArgumentException(
+          s"probe '$q' expands to ${ts.size} terms (> $maxExpansion) — " +
+            "lower maxDist or raise maxExpansion")
+      }
+    }
+    val synth = norm.collect {
+      case (id, _, _) if byProbe.get(id).exists(_.nonEmpty) =>
+        id -> byProbe(id).mkString(" ")
+    }
+    if (synth.isEmpty) emptyMany else searchMany(synth, k)
+  }
+
+  /** Unified BOOLEAN query (the Lucene-style MUST / SHOULD / MUST_NOT /
+    * PHRASE composition, single operator): top-k over documents that
+    * contain EVERY `must` term, the verbatim `phrase` (if given), and NO
+    * `mustNot` term, scored with the identical sorted-term BM25 left
+    * fold over the distinct union of must + should + phrase terms
+    * (minus negated ones) — so a bool query's score for a doc equals the
+    * plain disjunctive score over its effective term set, and every
+    * clause combination stays rank-comparable.
+    *
+    * Clause resolution (documented contract, mirrored by the SQL twin):
+    *   - MUST(t) ∧ MUST_NOT(t), or a negated phrase term → unsatisfiable,
+    *     dead at planning (zero jobs);
+    *   - MUST_NOT(t) removes t from SHOULD scoring (negation wins —
+    *     every doc containing t is excluded, so dropping it changes no
+    *     surviving score);
+    *   - a dictionary-absent MUST or phrase term → dead at planning;
+    *     absent SHOULD terms just drop out;
+    *   - phrase terms score as ordinary bag-of-words terms (the phrase
+    *     gate is containment; occurrence count does not boost).
+    *
+    * Plan shape: ONE pruned dictionary read plans everything; candidate
+    * buckets = the INTERSECTION of the gate terms' (must + phrase)
+    * bucket lists; one pruned postings read (the positions sidecar when
+    * a phrase gate is present — presence, tf AND adjacency all come from
+    * it, the corpus text is never read); per bucket, the gate doc sets
+    * are intersected sorted arrays, negated postings decode into a
+    * bucket-local exclusion, and survivors get the exact sorted-term
+    * fold + per-bucket top-k. Gating is bucket-decidable because a doc's
+    * postings live entirely in one bucket. With no must/phrase gate the
+    * query IS AND-NOT disjunctive search and delegates to [[search]].
+    */
+  def searchBool(k: Int, must: String = "", should: String = "",
+      mustNot: String = "", phrase: String = ""): DataFrame = {
+    val empty = spark.emptyDataset[Hit].toDF("doc_id", "score")
+    val negTerms = Tokenizer.tokenize(mustNot).distinct.sorted
+    val mustTerms = Tokenizer.tokenize(must).distinct.sorted
+    val shouldTerms = Tokenizer.tokenize(should).distinct.sorted
+    val phraseToks = Tokenizer.tokenize(phrase)
+    require(mustTerms.nonEmpty || shouldTerms.nonEmpty || phraseToks.nonEmpty,
+      "bool query needs at least one of must / should / phrase")
+    if (mustTerms.exists(negTerms.contains) || phraseToks.exists(negTerms.contains))
+      return empty
+    val scoring: Array[String] = (mustTerms ++ shouldTerms ++ phraseToks)
+      .distinct.sorted.filterNot(negTerms.contains)
+    if (mustTerms.isEmpty && phraseToks.isEmpty)
+      return search(scoring.mkString(" "), k, negQuery = negTerms.mkString(" "))
+    if (phraseToks.nonEmpty)
+      require(hasPositions,
+        s"bool query with a phrase clause needs the positions sidecar at $root")
+    val local = dictRows((scoring ++ negTerms).distinct.sorted)
+    if ((mustTerms ++ phraseToks).exists(t => !local.get(t).exists(_.df > 0L)))
+      return empty
+    val liveScoring = scoring.filter(t => local.get(t).exists(_.df > 0L))
+    val idfByTerm = liveScoring.map(t => t -> Bm25.idf(local(t).df, stats.nDocs)).toMap
+    val gateTerms = (mustTerms ++ phraseToks).distinct
+    val buckets: Seq[Int] =
+      gateTerms.map(t => local(t).buckets.toSet).reduce(_ intersect _).toSeq
+    if (buckets.isEmpty) return empty
+    val negLive = negTerms.filter(t => local.get(t).exists(_.df > 0L))
+
+    val mustB = spark.sparkContext.broadcast(mustTerms)
+    val negB = spark.sparkContext.broadcast(negLive)
+    val scoringB = spark.sparkContext.broadcast(liveScoring)
+    val phraseB = spark.sparkContext.broadcast(phraseToks)
+    val idfB = spark.sparkContext.broadcast(idfByTerm)
+    val kLocal = k
+    val avgdlLocal = stats.avgdl
+    val rootLocal = root
+    val doclens = doclensDS.where($"bucket".isin(buckets: _*))
+
+    val perBucket =
+      if (phraseToks.isEmpty) {
+        val scanTerms = (liveScoring ++ negLive).distinct
+        spark.read.parquet(layout.segments).as[PostingRow]
+          .where($"term".isin(scanTerms.toSeq: _*) && $"bucket".isin(buckets: _*))
+          .groupByKey(_.bucket)
+          .cogroup(doclens.groupByKey(_.bucket)) { (bucket, posts, lens) =>
+            val postsArr = posts.toArray
+            val lensArr = lens.toArray
+            if (postsArr.isEmpty) Iterator.empty
+            else if (lensArr.isEmpty)
+              throw new IllegalStateException(
+                s"index invariant violated: bucket $bucket has postings but no doclens row ($rootLocal)")
+            else {
+              val byRow = postsArr.iterator.map(r => r.term -> r).toMap
+              if (byRow.size != postsArr.length)
+                throw new IllegalStateException(
+                  s"index invariant violated: bucket $bucket holds more than one " +
+                    s"segment row per term (${postsArr.length} rows, ${byRow.size} terms)")
+              val dec = new java.util.HashMap[String, graft.codec.Postings]()
+              def post(t: String): graft.codec.Postings = byRow.get(t) match {
+                case Some(r) => dec.computeIfAbsent(t,
+                  _ => PostingCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq))
+                case None => null
+              }
+              val mustPosts = mustB.value.map(post)
+              if (mustPosts.exists(_ == null)) Iterator.empty
+              else {
+                val candidates =
+                  Searcher.intersectSorted(mustPosts.map(_.docIds).toSeq)
+                val excluded = Searcher.concatSorted(
+                  negB.value.iterator.map(post).filter(_ != null).map(_.docIds).toSeq)
+                Searcher.scoreBoolBucket(candidates, excluded, scoringB.value,
+                  t => { val p = post(t); if (p == null) null else (p.docIds, p.tfs) },
+                  idfB.value, lensArr.head, avgdlLocal, kLocal)
+              }
+            }
+          }
+      } else {
+        val scanTerms = (liveScoring ++ mustTerms ++ negLive ++ phraseToks).distinct
+        spark.read.parquet(layout.positions).as[PosRow]
+          .where($"term".isin(scanTerms.toSeq: _*) && $"bucket".isin(buckets: _*))
+          .groupByKey(_.bucket)
+          .cogroup(doclens.groupByKey(_.bucket)) { (bucket, posts, lens) =>
+            val rows = posts.toArray
+            val lensArr = lens.toArray
+            if (rows.isEmpty) Iterator.empty
+            else if (lensArr.isEmpty)
+              throw new IllegalStateException(
+                s"index invariant violated: bucket $bucket has positions but no doclens row ($rootLocal)")
+            else {
+              val byTerm = rows.iterator.map(r =>
+                r.term -> graft.codec.PositionCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq)).toMap
+              if (byTerm.size != rows.length)
+                throw new IllegalStateException(
+                  s"positions invariant violated in bucket $bucket: ${rows.length} rows, " +
+                    s"${byTerm.size} terms")
+              val pts = phraseB.value
+              if (!pts.distinct.forall(byTerm.contains) ||
+                  !mustB.value.forall(byTerm.contains)) Iterator.empty
+              else {
+                val phraseDocs =
+                  Searcher.phraseHitsInBucket(pts, byTerm).map(_._1).toArray
+                java.util.Arrays.sort(phraseDocs)
+                val candidates = Searcher.intersectSorted(
+                  phraseDocs +: mustB.value.map(t => byTerm(t).docIds).toSeq)
+                val excluded = Searcher.concatSorted(
+                  negB.value.iterator.flatMap(byTerm.get).map(_.docIds).toSeq)
+                Searcher.scoreBoolBucket(candidates, excluded, scoringB.value,
+                  t => byTerm.get(t) match {
+                    case Some(pp) => (pp.docIds, pp.positions.map(_.length))
+                    case None => null
+                  },
+                  idfB.value, lensArr.head, avgdlLocal, kLocal)
+              }
+            }
+          }
+      }
+
+    perBucket
+      .toDF("doc_id", "score")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Batch search: all queries answered in ONE distributed pass — the
     * per-row task fan-out of the reference's batched `search_many`
     * (/root/reference/python/lib.cpp:416-461, executor.dynamic), rendered
@@ -867,6 +1080,98 @@ object Searcher {
       i += 1
     }
     prev(b.length) <= maxDist
+  }
+
+  /** Intersection of ascending docId arrays (k-way via successive
+    * pairwise merges, sparsest first). Empty input → empty.
+    */
+  private[index] def intersectSorted(arrays: Seq[Array[Long]]): Array[Long] = {
+    if (arrays.isEmpty) return Array.emptyLongArray
+    val sorted = arrays.sortBy(_.length)
+    var acc = sorted.head
+    var n = 1
+    while (n < sorted.length && acc.nonEmpty) {
+      val b = sorted(n)
+      val out = new Array[Long](math.min(acc.length, b.length))
+      var i = 0; var j = 0; var o = 0
+      while (i < acc.length && j < b.length) {
+        val x = acc(i); val y = b(j)
+        if (x == y) { out(o) = x; o += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      acc = java.util.Arrays.copyOf(out, o)
+      n += 1
+    }
+    acc
+  }
+
+  /** Ascending concatenation of sorted docId arrays for binary-search
+    * membership (duplicates are harmless to `binarySearch >= 0`).
+    */
+  private[index] def concatSorted(arrays: Seq[Array[Long]]): Array[Long] = {
+    val total = arrays.iterator.map(_.length).sum
+    val out = new Array[Long](total)
+    var o = 0
+    arrays.foreach { a => System.arraycopy(a, 0, out, o, a.length); o += a.length }
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  /** Exact sorted-term BM25 fold over an already-gated candidate list —
+    * the bool-query scorer. For each candidate not in `excluded`, the
+    * score is the left fold over `scoring` (globally sorted) of
+    * idf·tfNorm for the terms present — the identical per-doc
+    * accumulation order as [[wandBucket]] and [[taatBucket]], so a bool
+    * hit's double equals the disjunctive score of its effective term set
+    * (RetrievalModesSpec pins it). No WAND pruning: the gates (must ∧
+    * phrase) already cut candidates far below the disjunctive universe,
+    * and exactness keeps the fold trivially bit-stable.
+    */
+  private[index] def scoreBoolBucket(
+      candidates: Array[Long],
+      excluded: Array[Long],
+      scoring: Array[String],
+      termDocs: String => (Array[Long], Array[Int]),
+      idfByTerm: Map[String, Double],
+      doclen: DocLenRow,
+      avgdl: Double,
+      k: Int): Iterator[Hit] = {
+    val nTerms = scoring.length
+    val docs = new Array[Array[Long]](nTerms)
+    val tfs = new Array[Array[Int]](nTerms)
+    val idfs = new Array[Double](nTerms)
+    var t = 0
+    while (t < nTerms) {
+      val td = termDocs(scoring(t))
+      if (td != null) { docs(t) = td._1; tfs(t) = td._2 }
+      idfs(t) = idfByTerm(scoring(t))
+      t += 1
+    }
+    val topk = new TopK(k)
+    var i = 0
+    while (i < candidates.length) {
+      val id = candidates(i)
+      if (java.util.Arrays.binarySearch(excluded, id) < 0) {
+        val di = java.util.Arrays.binarySearch(doclen.docIds, id)
+        if (di < 0)
+          throw new IllegalStateException(
+            s"index invariant violated: doc $id has postings but no doclens entry")
+        val dl = doclen.lens(di)
+        var s = 0.0
+        var j = 0
+        while (j < nTerms) {
+          if (docs(j) != null) {
+            val pi = java.util.Arrays.binarySearch(docs(j), id)
+            if (pi >= 0) s += idfs(j) * Bm25.tfNorm(tfs(j)(pi), dl, avgdl)
+          }
+          j += 1
+        }
+        topk.offer(id, s)
+      }
+      i += 1
+    }
+    topk.result
   }
 
   /** Verify a phrase inside one bucket given decoded positional postings.

@@ -440,26 +440,19 @@ object Fulltext {
     (2, "qury", 1),
     (3, "zzzz", 1))
 
-  /** Dictionary-driven FUZZY search (`term~d`): expand each probe over
-    * the term dictionary within edit distance d (one distributed pruned
-    * read — length band + thresholded levenshtein executor-side), then
-    * rank the expansion as a disjunctive BM25 query, each matched term
-    * weighted by its own idf ([[graft.index.Searcher.searchFuzzy]]).
-    * Rank is computed over the raw doubles of each query's k rows.
+  /** Dictionary-driven FUZZY search (`term~d`), batched: the whole probe
+    * set expands in ONE dictionary scan (length band pushed down, the
+    * bounded edit-distance DP executor-side) and the expansions ride ONE
+    * TAAT batch pass, each matched term weighted by its own idf
+    * ([[graft.index.Searcher.searchFuzzyMany]]; per-probe ≡ batched is
+    * pinned in RetrievalModesSpec).
     */
-  def engFuzzySearch(spark: SparkSession, dir: String): DataFrame = {
-    val s = indexFor(spark, dir)
-    val per = FuzzyQueries.map { case (qid, probe, d) =>
-      s.searchFuzzy(probe, K, maxDist = d)
-        .select(lit(qid).as("query_id"), col("doc_id"), col("score"))
-    }.reduce(_ unionAll _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
-    per
-      .select(col("query_id"), row_number().over(w).as("rank"),
+  def engFuzzySearch(spark: SparkSession, dir: String): DataFrame =
+    indexFor(spark, dir)
+      .searchFuzzyMany(FuzzyQueries, K)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("doc_id"), round(col("score"), 4).as("score"))
       .orderBy(col("query_id"), col("rank"))
-  }
 
   /** Oracle: the expansion recomputed in SQL (`levenshtein(term, probe)
     * <= d` over the distinct-term dictionary), scored with the
@@ -552,6 +545,106 @@ object Fulltext {
          |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
          |  WHERE tf.term IN ($posList)
          |    AND tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term IN ($negList))
+         |  GROUP BY tf.doc_id) x
+         |WHERE rnk <= $k""".stripMargin
+    }
+    s"""SELECT query_id, rank, doc_id, score FROM (
+       |${selects.mkString("\nUNION ALL\n")}
+       |) u ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Boolean-DSL probe set: (query_id, must, should, mustNot, phrase).
+    * Every clause combination: MUST+SHOULD, MUST+SHOULD+NOT,
+    * SHOULD+NOT+PHRASE, MUST+SHOULD+PHRASE, SHOULD+NOT (the delegated
+    * AND-NOT plan), a dictionary-absent-MUST canary, and a MUST∩NOT
+    * unsatisfiable canary. Phrase literals are the contamination probes
+    * known to hit at every scale; `sort` as q2's negation filters a
+    * phrase doc at sf0.01 while keeping a survivor at both scales
+    * (verified tri-scale — non-vacuous gates on both sides).
+    */
+  final val BoolQueries: Seq[(Int, String, String, String, String)] = Seq(
+    (0, "merge dup", "spark stream", "", ""),
+    (1, "key", "hash join", "slow", ""),
+    (2, "", "spark merge", "sort", "key agg row"),
+    (3, "table", "window dup", "", "merge batch part"),
+    (4, "", "stream table", "batch", ""),
+    (5, "quantum", "spark", "", ""),
+    (6, "merge", "dup", "merge", ""))
+
+  /** Unified boolean query (Lucene-style MUST / SHOULD / MUST_NOT /
+    * PHRASE in one operator): candidates must contain every MUST term,
+    * the verbatim phrase, and no negated term; scores are the identical
+    * sorted-term BM25 fold over the effective term set
+    * ([[graft.index.Searcher.searchBool]] documents the clause
+    * resolution; phrase gates answer from the positions sidecar — the
+    * corpus text is never read).
+    */
+  def engBoolQuery(spark: SparkSession, dir: String): DataFrame = {
+    val s = positionalIndexFor(spark, dir)
+    val per = BoolQueries.map { case (qid, m, sh, n, p) =>
+      s.searchBool(K, must = m, should = sh, mustNot = n, phrase = p)
+        .select(lit(qid).as("query_id"), col("doc_id"), col("score"))
+    }.reduce(_ unionAll _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+    per
+      .select(col("query_id"), row_number().over(w).as("rank"),
+        col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle: raw clause semantics per query — a MUST gate
+    * (`HAVING count(DISTINCT must term)` subquery), a PHRASE gate (the
+    * same position-arithmetic filter as [[engPhraseSql]]), a NOT
+    * anti-join — and the deterministic COALESCE'd sorted-term fold over
+    * the effective scoring set (computed here by the same resolution
+    * rules the engine documents). The two dead canaries fall out of the
+    * raw semantics: an absent MUST term's gate matches nothing, and
+    * must∩not contradicts itself — no special-casing, so the oracle
+    * independently confirms the engine's planning shortcuts.
+    */
+  def boolQuerySql(
+      queries: Seq[(Int, String, String, String, String)] = BoolQueries,
+      k: Int = K): String = {
+    val selects = queries.map { case (qid, m, sh, n, p) =>
+      val negTs = Tokenizer.tokenize(n).distinct.sorted
+      val mustTs = Tokenizer.tokenize(m).distinct.sorted
+      val phraseTs = Tokenizer.tokenize(p)
+      val scoring = (mustTs ++ Tokenizer.tokenize(sh).distinct ++ phraseTs)
+        .distinct.sorted.filterNot(negTs.contains).toSeq
+      val sList = scoring.map(t => s"'$t'").mkString(", ")
+      val fold = foldScoreSqlAny(scoring)
+      val gates = new scala.collection.mutable.ArrayBuffer[String]
+      if (mustTs.nonEmpty) {
+        val mList = mustTs.map(t => s"'$t'").mkString(", ")
+        gates += s"""tf.doc_id IN (SELECT doc_id FROM tf WHERE term IN ($mList)
+                     |      GROUP BY doc_id HAVING count(DISTINCT term) = ${mustTs.length})""".stripMargin
+      }
+      if (phraseTs.nonEmpty) {
+        val conds = phraseTs.zipWithIndex
+          .map { case (t, j) => s"toks[i + $j] = '$t'" }.mkString(" AND ")
+        gates += s"""tf.doc_id IN (SELECT doc_id FROM d
+                     |      WHERE len(list_filter(range(1, len(toks) + 2 - ${phraseTs.length}), i -> $conds)) > 0)""".stripMargin
+      }
+      if (negTs.nonEmpty) {
+        val nList = negTs.map(t => s"'$t'").mkString(", ")
+        gates += s"tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term IN ($nList))"
+      }
+      val gateClause = if (gates.isEmpty) "" else gates.mkString("\n    AND ", "\n    AND ", "")
+      s"""SELECT $qid AS query_id, CAST(rnk AS INT) AS rank, doc_id, round(score_raw, 4) AS score FROM (
+         |  WITH d AS (SELECT doc_id, ${Tokenizer.duckdbTokensSql("text")} AS toks FROM documents),
+         |  tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+         |  tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |  dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |  st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         |                CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+         |  dfq AS (SELECT term, count(*) AS df FROM tf WHERE term IN ($sList) GROUP BY 1)
+         |  SELECT tf.doc_id,
+         |         $fold AS score_raw,
+         |         row_number() OVER (
+         |           ORDER BY $fold DESC, tf.doc_id) AS rnk
+         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         |  WHERE tf.term IN ($sList)$gateClause
          |  GROUP BY tf.doc_id) x
          |WHERE rnk <= $k""".stripMargin
     }

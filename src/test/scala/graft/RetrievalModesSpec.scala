@@ -251,6 +251,25 @@ class RetrievalModesSpec extends SparkSpec {
     assert(e.getMessage.contains("expands to"))
   }
 
+  test("batched fuzzy (one dict scan + one TAAT pass) equals per-probe fuzzy") {
+    val s = buildPositional(genDocs, buckets = 5)
+    val probes = Seq((0, "clas", 1), (1, "impor", 1), (2, "id10", 1), (3, "zzzz", 1))
+    val batched = s.searchFuzzyMany(probes, 10)
+      .select("query_id", "doc_id", "score", "rank")
+      .as[(Int, Long, Double, Int)].collect().toSeq
+    val per = probes.flatMap { case (qid, p, d) =>
+      s.searchFuzzy(p, 10, maxDist = d).as[(Long, Double)].collect().toSeq
+        .zipWithIndex.map { case ((doc, sc), i) => (qid, doc, sc, i + 1) }
+    }
+    assert(batched.nonEmpty && batched.sorted == per.sorted,
+      "batched fuzzy diverged from per-probe fuzzy")
+    // the dead probe contributes no rows; over-expansion still fails loudly
+    assert(!batched.exists(_._1 == 3))
+    val e = intercept[IllegalArgumentException](
+      s.searchFuzzyMany(Seq((0, "id10", 1)), 10, maxExpansion = 1))
+    assert(e.getMessage.contains("expands to"))
+  }
+
   // ---- boolean NOT -------------------------------------------------------
 
   test("AND-NOT: bit-identical to the filtered-exact oracle; neg resolution rules") {
@@ -282,5 +301,61 @@ class RetrievalModesSpec extends SparkSpec {
       == s.search("def val", 10).as[(Long, Double)].collect().toSeq)
     // dead positive → empty
     assert(s.searchNot("quantum flux", "def", 10).count() == 0L)
+  }
+
+  // ---- boolean DSL ---------------------------------------------------------
+
+  test("bool DSL equals the composed brute-force oracle; all three plans agree") {
+    val s = buildPositional(genDocs, buckets = 5)
+    val oracle = new graft.oracle.ExactScorer(genDocs.toIndexedSeq)
+    def hasPhrase(text: String, p: String): Boolean = {
+      val pt = Tokenizer.tokenize(p); val tk = Tokenizer.tokenize(text)
+      tk.indices.exists(i => i + pt.length <= tk.length &&
+        pt.indices.forall(j => tk(i + j) == pt(j)))
+    }
+    def brute(m: String, sh: String, n: String, p: String): Seq[(Long, Double)] = {
+      val negTs = Tokenizer.tokenize(n).distinct
+      val mustTs = Tokenizer.tokenize(m).distinct
+      val phraseTs = Tokenizer.tokenize(p)
+      if (mustTs.exists(negTs.contains) || phraseTs.exists(negTs.contains))
+        return Seq.empty
+      val scoring = (mustTs ++ Tokenizer.tokenize(sh).distinct ++ phraseTs)
+        .distinct.filterNot(negTs.contains)
+      val eligible = genDocs.filter { case (_, text) =>
+        val tk = Tokenizer.tokenize(text).toSet
+        mustTs.forall(tk) && (phraseTs.isEmpty || hasPhrase(text, p)) &&
+          !negTs.exists(tk)
+      }.map(_._1).toSet
+      oracle.search(scoring.mkString(" "), genDocs.size)
+        .filter(h => eligible(h._1)).take(10).toSeq
+    }
+    for ((m, sh, n, p) <- Seq(
+        ("def class", "import return", "", ""),      // MUST+SHOULD (postings plan)
+        ("import", "val lambda", "struct", ""),      // MUST+SHOULD+NOT
+        ("", "static void", "include", "def class"), // SHOULD+NOT+PHRASE (positions plan)
+        ("return", "class val", "", "import return"))) { // MUST+SHOULD+PHRASE
+      val got = s.searchBool(10, must = m, should = sh, mustNot = n, phrase = p)
+        .as[(Long, Double)].collect().toSeq
+      val want = brute(m, sh, n, p)
+      assert(want.nonEmpty, s"vacuous bool fixture ($m | $sh | -$n | \"$p\")")
+      assert(got == want, s"bool($m | $sh | -$n | \"$p\") diverged")
+    }
+    // MUST-only bool == conjunctive search (same fold, same gate)
+    val boolOnly = s.searchBool(10, must = "class import return")
+      .as[(Long, Double)].collect().toSeq
+    val conj = s.searchConjunctiveMany(Seq((0, "class import return")), 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    assert(boolOnly.nonEmpty && boolOnly == conj, "bool MUST-only != conjunctive")
+    // gate-free bool delegates to AND-NOT disjunctive search
+    assert(s.searchBool(10, should = "def val", mustNot = "lambda")
+      .as[(Long, Double)].collect().toSeq
+      == s.searchNot("def val", "lambda", 10).as[(Long, Double)].collect().toSeq)
+    // unsatisfiable canaries die at planning
+    assert(s.searchBool(10, must = "def", mustNot = "def").count() == 0L)
+    assert(s.searchBool(10, should = "val", phrase = "def class",
+      mustNot = "class").count() == 0L)
+    // dict-absent MUST / phrase term → dead
+    assert(s.searchBool(10, must = "quantum", should = "def").count() == 0L)
+    assert(s.searchBool(10, should = "def", phrase = "quantum flux").count() == 0L)
   }
 }
