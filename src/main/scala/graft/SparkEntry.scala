@@ -61,6 +61,9 @@ object SparkEntry {
     "eng_fuzzy_search" -> Fulltext.engFuzzySearch _,
     "eng_bm25_not" -> Fulltext.engBm25Not _,
     "eng_bool_query" -> Fulltext.engBoolQuery _,
+    "eng_explain" -> Fulltext.engExplain _,
+    "eng_fsck" -> Fulltext.engFsck _,
+    "eng_wildcard_search" -> Fulltext.engWildcardSearch _,
     // usearch key-API analogs
     "u_contains" -> UsearchOps.contains _,
     "u_count_key" -> UsearchOps.countKey _,
@@ -194,6 +197,9 @@ object SparkEntry {
     "eng_fuzzy_search" -> Fulltext.fuzzySearchSql(),
     "eng_bm25_not" -> Fulltext.bm25NotSql(),
     "eng_bool_query" -> Fulltext.boolQuerySql(),
+    "eng_explain" -> Fulltext.explainSql(),
+    "eng_fsck" -> Fulltext.engFsckSql,
+    "eng_wildcard_search" -> Fulltext.wildcardSearchSql(),
     "u_contains" -> UsearchOps.containsSql,
     "u_count_key" -> UsearchOps.countKeySql,
     "u_get" -> UsearchOps.getSql,

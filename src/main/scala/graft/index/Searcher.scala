@@ -198,6 +198,122 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
       .orderBy(col("bucket"))
   }
 
+  /** Index AUDIT (fsck): recompute every cross-table invariant from the
+    * stored bytes and report one summary row — the operational check a
+    * user runs after a merge, a resume, or a suspect job, analogous to
+    * the reference's serialization round-trip and metadata self-checks
+    * (/root/reference/python/scripts/test_index.py:87-129,
+    * include/usearch/index.hpp:3133-3210). Verified invariants:
+    *
+    *  - `bad_df`: segment rows whose stored per-bucket df != decoded
+    *    posting count, whose docIds are not strictly ascending, or whose
+    *    docIds fall outside the row's bucket range
+    *  - `bad_dict`: dictionary terms whose global df != the sum of the
+    *    term's bucket dfs (or present on only one side)
+    *  - `bad_doclen`: docs whose doclens norm != the decoded sum of the
+    *    doc's tfs (or present in postings but not doclens / vice versa
+    *    with a nonzero length)
+    *  - `bad_meta`: stats.properties fields that differ from the
+    *    recomputed scalars
+    *  - `bad_pos`: (positions sidecar only, `checkPositions = true`)
+    *    positional entries whose per-doc position count != the posting
+    *    tf, positions not strictly ascending, or (term, doc) pairs
+    *    present on only one side
+    *
+    * The corpus scalars in the row (n_docs, total_tokens, n_terms,
+    * n_postings) are recomputed FROM THE DECODED SEGMENTS, so an oracle
+    * comparing them against a raw-corpus recomputation transitively pins
+    * the stored bytes to the corpus. Scale shape: one pass over
+    * segments (+ one over positions), decode executor-side, the doc-tf
+    * re-aggregation is the same key-partitioned shuffle the build ran;
+    * the driver holds one row.
+    */
+  def integrityReport(checkPositions: Boolean = false): DataFrame = {
+    val bs = stats.bucketSize
+    // decoded per-(term, bucket) facts
+    val perRow = spark.read.parquet(layout.segments).as[PostingRow]
+      .map { r =>
+        val p = PostingCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq)
+        var sumTf = 0L
+        var asc = true
+        var inBucket = true
+        var prev = Long.MinValue
+        var i = 0
+        while (i < p.size) {
+          sumTf += p.tfs(i)
+          if (p.docIds(i) <= prev) asc = false
+          if ((p.docIds(i) / bs).toInt != r.bucket) inBucket = false
+          prev = p.docIds(i)
+          i += 1
+        }
+        (r.term, r.bucket, p.size.toLong, sumTf,
+          r.df == p.size.toLong && asc && inBucket)
+      }.toDF("term", "bucket", "n_postings", "sum_tf", "ok")
+      .cache()
+    val scalars = perRow.agg(
+      sum(col("n_postings")).as("n_postings"),
+      sum(col("sum_tf")).as("total_tokens"),
+      countDistinct(col("term")).as("n_terms"),
+      sum(when(!col("ok"), 1L).otherwise(0L)).as("bad_df")).head()
+    // dictionary df == sum of bucket dfs, term sets equal
+    val dictAgg = perRow.groupBy(col("term"))
+      .agg(sum(col("n_postings")).as("seg_df"))
+    val badDict = dictDS.select(col("term"), col("df"))
+      .join(dictAgg, Seq("term"), "full_outer")
+      .where(col("df").isNull || col("seg_df").isNull || col("df") =!= col("seg_df"))
+      .count()
+    // per-doc decoded tf sums == doclens norms
+    val docTf = spark.read.parquet(layout.segments).as[PostingRow]
+      .flatMap { r =>
+        val p = PostingCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq)
+        p.docIds.iterator.zip(p.tfs.iterator).map { case (d, tf) => (d, tf.toLong) }
+      }.toDF("doc_id", "tf")
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("sum_tf"))
+    val dlFlat = doclensDS
+      .flatMap(r => r.docIds.iterator.zip(r.lens.iterator))
+      .toDF("doc_id", "dl")
+    val badDoclen = dlFlat.join(docTf, Seq("doc_id"), "full_outer")
+      .where(coalesce(col("dl"), lit(0L)) =!= coalesce(col("sum_tf"), lit(0L)))
+      .count()
+    val nDocs = dlFlat.count()
+    val nPostings = scalars.getLong(0)
+    val totalTokens = scalars.getLong(1)
+    val nTerms = scalars.getLong(2)
+    val badDf = scalars.getLong(3)
+    perRow.unpersist()
+    // meta nDocs counts the whole corpus; doclens only docs with ≥1
+    // token (norms derive from tf), so ≥ is the true invariant there
+    val badMeta =
+      Seq(stats.nDocs >= nDocs, stats.totalTokens == totalTokens,
+        stats.nTerms == nTerms, stats.totalPostings == nPostings)
+        .count(!_).toLong
+    val badPos =
+      if (!checkPositions) 0L
+      else {
+        val posFlat = spark.read.parquet(layout.positions).as[PosRow]
+          .flatMap { r =>
+            val p = graft.codec.PositionCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq)
+            p.docIds.iterator.zip(p.positions.iterator).map { case (d, ps) =>
+              val asc = ps.indices.forall(i => i == 0 || ps(i - 1) < ps(i))
+              (r.term, d, ps.length.toLong, asc)
+            }
+          }.toDF("term", "doc_id", "n_pos", "pos_ok")
+        val tfFlat = spark.read.parquet(layout.segments).as[PostingRow]
+          .flatMap { r =>
+            val p = PostingCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq)
+            p.docIds.iterator.zip(p.tfs.iterator).map { case (d, tf) => (r.term, d, tf.toLong) }
+          }.toDF("term", "doc_id", "tf")
+        posFlat.join(tfFlat, Seq("term", "doc_id"), "full_outer")
+          .where(col("n_pos").isNull || col("tf").isNull ||
+            col("n_pos") =!= col("tf") || !col("pos_ok"))
+          .count()
+      }
+    Seq((nDocs, totalTokens, nTerms, nPostings, badDf, badDict, badDoclen,
+      badMeta, badPos))
+      .toDF("n_docs", "total_tokens", "n_terms", "n_postings", "bad_df",
+        "bad_dict", "bad_doclen", "bad_meta", "bad_pos")
+  }
+
   /** Per-term df from this index's dictionary (tiny pruned read). */
   def termDfs(terms: Seq[String]): Map[String, Long] =
     dictRows(terms).map { case (t, d) => t -> d.df }
@@ -491,6 +607,39 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     search(expanded.mkString(" "), k)
   }
 
+  /** WILDCARD top-k search (`me*ge`, `*tion`, `pre*` — `*` matches any
+    * run of characters): expand the pattern against the term dictionary,
+    * then score the expansion as a disjunctive BM25 query through the
+    * ordinary [[search]] path, each matched term weighted by its own
+    * idf (the [[searchPrefix]] contract generalized). A literal head
+    * keeps the `StringStartsWith` pushdown over the term-sorted
+    * dictionary ranges; a leading `*` is a documented full dictionary
+    * scan (Lucene's leading-wildcard caveat) — still one bounded
+    * metadata-table pass, never a postings or corpus scan.
+    * `maxExpansion` bounds the fan-out loudly, as in [[searchPrefix]].
+    */
+  def searchWildcard(pattern: String, k: Int, maxExpansion: Int = 1024): DataFrame = {
+    require(pattern.matches("[a-z0-9*]+") && pattern.exists(_ != '*'),
+      s"wildcard pattern must be [a-z0-9*]+ with at least one literal char, got '$pattern'")
+    if (!pattern.contains("*")) return search(pattern, k)
+    val rxBody = pattern.split("\\*", -1).mkString(".*")
+    val expanded: Seq[String] =
+      if (cacheHot) hotDict.keysIterator.filter(_.matches(rxBody)).toSeq.sorted
+      else {
+        val head = pattern.takeWhile(_ != '*')
+        val base = if (head.nonEmpty) dictDS.where($"term".startsWith(head)) else dictDS
+        base.where($"term".rlike("^" + rxBody + "$"))
+          .select("term").as[String].collect().toSeq.sorted
+      }
+    if (expanded.size > maxExpansion)
+      throw new IllegalArgumentException(
+        s"pattern '$pattern' expands to ${expanded.size} terms (> $maxExpansion) — " +
+          "narrow the pattern or raise maxExpansion")
+    if (expanded.isEmpty)
+      return spark.emptyDataset[Hit].toDF("doc_id", "score")
+    search(expanded.mkString(" "), k)
+  }
+
   /** SNIPPET/highlight search, batched: conjunctive BM25 top-k
     * ([[searchConjunctiveMany]]) where each returned doc also carries the
     * leftmost minimal token window covering ALL query terms — the
@@ -691,6 +840,72 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
 
   /** Exact search convenience (full scoring, no pruning). */
   def searchExact(query: String, k: Int): DataFrame = search(query, k, exact = true)
+
+  /** Score EXPLAIN (the Lucene `explain` analog; the reference's
+    * per-metric score introspection is `distance_between`,
+    * /root/reference/include/usearch/index_dense.hpp:853-866): for the
+    * query's top-k documents, one row per (doc, present term) with the
+    * term's tf, df, and raw BM25 contribution, plus the doc's total raw
+    * score and rank. The per-term part is computed with the scorer's OWN
+    * [[Bm25.score]] double arithmetic (not a Catalyst re-expression of
+    * the formula, whose literal-promotion order drifts a last ulp), so
+    * the sorted-term left fold of `part_raw` reconstructs `score_raw`
+    * bit-for-bit (pinned in RetrievalOpsSpec).
+    *
+    * Scale shape: the k hits are the only driver-side rows; the
+    * breakdown is ONE pruned segments read (term IN + the top-k docs'
+    * buckets only — bucket = docId / bucketSize is a pure function of
+    * the hit), decoded executor-side and filtered to the k docs before
+    * anything shuffles.
+    */
+  def explain(query: String, k: Int): DataFrame = {
+    val top = search(query, k).as[(Long, Double)].collect()
+    if (top.isEmpty)
+      return spark.emptyDataset[(Int, Long, String, Long, Long, Double, Double)]
+        .toDF("rank", "doc_id", "term", "tf", "df", "part_raw", "score_raw")
+    val qTerms = Tokenizer.tokenize(query).distinct.sorted
+    val local = dictRows(qTerms)
+    val live = qTerms.filter(t => local.get(t).exists(_.df > 0L))
+    val n = stats.nDocs
+    val avgdl = stats.avgdl
+    val topIds = top.map(_._1)
+    val buckets = topIds.map(id => (id / stats.bucketSize).toInt).distinct.toSeq
+    val idsB = spark.sparkContext.broadcast(topIds.toSet)
+    val tfRows = spark.read.parquet(layout.segments).as[PostingRow]
+      .where($"term".isin(live: _*) && $"bucket".isin(buckets: _*))
+      .flatMap { r =>
+        val p = PostingCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq)
+        val ids = idsB.value
+        p.docIds.iterator.zip(p.tfs.iterator)
+          .collect { case (d, tf) if ids(d) => (r.term, d, tf.toLong) }
+      }.toDF("term", "doc_id", "tf")
+    val dlRows = doclensDS
+      .where($"bucket".isin(buckets: _*))
+      .flatMap { r =>
+        val ids = idsB.value
+        r.docIds.iterator.zip(r.lens.iterator)
+          .collect { case (d, l) if ids(d) => (d, l) }
+      }.toDF("doc_id", "dl")
+    val dfTbl = live.toSeq.map(t => (t, local(t).df)).toDF("term", "df")
+    val hits = top.zipWithIndex
+      .map { case ((d, s), i) => (i + 1, d, s) }.toSeq
+      .toDF("rank", "doc_id", "score_raw")
+    tfRows
+      .join(broadcast(dfTbl), "term")
+      .join(broadcast(dlRows), "doc_id")
+      .join(broadcast(hits), "doc_id")
+      .select(col("rank").cast("int"), col("doc_id"), col("term"), col("tf"),
+        col("df"), col("dl"), col("score_raw"))
+      .as[(Int, Long, String, Long, Long, Long, Double)]
+      // part via the ENGINE's Bm25.score — Catalyst's evaluation of the
+      // equivalent SQL fragment differs in the last ulp (literal/promotion
+      // order), and the bit-for-all fold contract is to the scorer
+      .map { case (rank, d, t, tf, df, dl, sc) =>
+        (rank, d, t, tf, df, Bm25.score(tf.toInt, df, dl, n, avgdl), sc)
+      }
+      .toDF("rank", "doc_id", "term", "tf", "df", "part_raw", "score_raw")
+      .orderBy(col("rank"), col("term"))
+  }
 
   /** Boolean AND-NOT search (`term -term` mode): the top-k over documents
     * matching ANY positive term and NO negative term, scored on the

@@ -428,6 +428,67 @@ object Fulltext {
        |ORDER BY score_raw DESC, doc_id
        |LIMIT $k""".stripMargin
 
+  /** Wildcard probe set: a leading-star pattern (the full-dictionary-scan
+    * path), a bounded infix pattern, a star-suffix pattern wider than one
+    * term, and an expansion-empty canary. The corpus vocabulary is fixed
+    * across scales (CorpusGen), so the probes are non-vacuous tri-scale.
+    */
+  final val WildcardQueries: Seq[(Int, String)] = Seq(
+    (0, "*t"),
+    (1, "m*e"),
+    (2, "*e"),
+    (3, "zz*zz"))
+
+  /** Dictionary-driven WILDCARD search (`me*ge` / `*tion`): expand each
+    * pattern over the term dictionary (prefix pushdown when the pattern
+    * has a literal head; a leading `*` is the documented full dictionary
+    * scan), then rank each expansion as a disjunctive BM25 query
+    * ([[graft.index.Searcher.searchWildcard]]). The oracle recomputes
+    * every expansion itself via `LIKE`.
+    */
+  def engWildcardSearch(spark: SparkSession, dir: String): DataFrame = {
+    val s = indexFor(spark, dir)
+    val per = WildcardQueries.map { case (qid, p) =>
+      s.searchWildcard(p, K)
+        .select(lit(qid).as("query_id"), col("doc_id"), col("score"))
+    }.reduce(_ unionAll _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+    per
+      .select(col("query_id"), row_number().over(w).as("rank"),
+        col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle for [[engWildcardSearch]]: term set derived in SQL (`LIKE`
+    * with `*`→`%`), scored with the order-pinned `list_aggregate` fold
+    * (the SQL-derived-term-set rule — a bare `sum()`'s addition order
+    * varies run to run in DuckDB).
+    */
+  def wildcardSearchSql(queries: Seq[(Int, String)] = WildcardQueries, k: Int = K): String = {
+    val selects = queries.map { case (qid, p) =>
+      val like = p.replace("*", "%")
+      s"""SELECT $qid AS query_id, CAST(rnk AS INT) AS rank, doc_id, round(score_raw, 4) AS score FROM (
+         |  WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+         |  tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |  dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |  st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         |                CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+         |  dfq AS (SELECT term, count(*) AS df FROM tf WHERE term LIKE '$like' GROUP BY 1)
+         |  SELECT tf.doc_id,
+         |         list_aggregate(list(${graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")} ORDER BY tf.term), 'sum') AS score_raw,
+         |         row_number() OVER (
+         |           ORDER BY list_aggregate(list(${graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")} ORDER BY tf.term), 'sum') DESC, tf.doc_id) AS rnk
+         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         |  WHERE tf.term LIKE '$like'
+         |  GROUP BY tf.doc_id) x
+         |WHERE rnk <= $k""".stripMargin
+    }
+    s"""SELECT query_id, rank, doc_id, score FROM (
+       |${selects.mkString("\nUNION ALL\n")}
+       |) u ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Fuzzy probe set: (query_id, probe, maxDist). One multi-term
     * expansion (part~2 → fast/part/sort on this vocabulary), two typo
     * corrections (mergee~1 → merge, qury~1 → query), one expansion-empty
@@ -773,6 +834,75 @@ object Fulltext {
     Seq((s.nDocs, s.totalTokens, s.nTerms, s.totalPostings))
       .toDF("n_docs", "total_tokens", "n_terms", "total_postings")
   }
+
+  /** Score EXPLAIN entry (the Lucene `explain` analog): per-(doc, term)
+    * BM25 breakdown of the reference query's top-k
+    * ([[graft.index.Searcher.explain]] — the k hits are the only
+    * driver-side rows; the breakdown is one pruned, bucket-filtered
+    * segments read decoded executor-side). `part` is a single-term
+    * double (no accumulation) so 4 dp rounding is cross-engine safe;
+    * `score` is the usual sorted-term fold.
+    */
+  def engExplain(spark: SparkSession, dir: String): DataFrame =
+    indexFor(spark, dir).explain(RefQuery.mkString(" "), K)
+      .select(col("rank"), col("doc_id"), col("term"),
+        col("tf"), col("df"), round(col("part_raw"), 4).as("part"),
+        round(col("score_raw"), 4).as("score"))
+      .orderBy(col("rank"), col("term"))
+
+  /** Oracle for [[engExplain]]: the top-k fold subquery joined back to
+    * the per-(doc, term) tf table, each part recomputed with the same
+    * [[graft.query.Bm25.sqlScore]] formula string both engines evaluate.
+    */
+  def explainSql(queryTerms: Seq[String] = RefQuery, k: Int = K): String = {
+    val terms = queryTerms.distinct.sorted
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val fold = foldScoreSqlAny(terms)
+    val part = graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+       |              CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+       |dfq AS (SELECT term, count(*) AS df FROM tf WHERE term IN ($termList) GROUP BY 1),
+       |topk AS (SELECT * FROM (
+       |  SELECT tf.doc_id, $fold AS score_raw,
+       |         row_number() OVER (ORDER BY $fold DESC, tf.doc_id) AS rnk
+       |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       |  WHERE tf.term IN ($termList)
+       |  GROUP BY tf.doc_id) WHERE rnk <= $k)
+       |SELECT CAST(t.rnk AS INT) AS rank, t.doc_id, tf.term, tf.tf, dfq.df,
+       |  round($part, 4) AS part, round(t.score_raw, 4) AS score
+       |FROM topk t
+       |JOIN tf ON tf.doc_id = t.doc_id AND tf.term IN ($termList)
+       |JOIN dfq ON dfq.term = tf.term
+       |JOIN dl ON dl.doc_id = tf.doc_id
+       |CROSS JOIN st
+       |ORDER BY rank, tf.term""".stripMargin
+  }
+
+  /** Index AUDIT entry (fsck): every cross-table invariant of the stored
+    * index recomputed from the decoded bytes
+    * ([[graft.index.Searcher.integrityReport]]), positions sidecar
+    * included. The corpus scalars are recomputed from the SEGMENTS, so
+    * the oracle's raw-corpus recomputation transitively pins stored
+    * bytes ↔ corpus; the mismatch counters must all be zero (a healthy
+    * index — IntegritySpec pins that seeded corruption is detected).
+    */
+  def engFsck(spark: SparkSession, dir: String): DataFrame =
+    positionalIndexFor(spark, dir).integrityReport(checkPositions = true)
+
+  val engFsckSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+       |SELECT count(DISTINCT doc_id) AS n_docs,
+       |  CAST(sum(tf) AS BIGINT) AS total_tokens,
+       |  count(DISTINCT term) AS n_terms,
+       |  count(*) AS n_postings,
+       |  CAST(0 AS BIGINT) AS bad_df, CAST(0 AS BIGINT) AS bad_dict,
+       |  CAST(0 AS BIGINT) AS bad_doclen, CAST(0 AS BIGINT) AS bad_meta,
+       |  CAST(0 AS BIGINT) AS bad_pos
+       |FROM tf""".stripMargin
 
   val engStatsSql: String =
     s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents)

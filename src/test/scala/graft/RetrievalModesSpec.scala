@@ -270,6 +270,28 @@ class RetrievalModesSpec extends SparkSpec {
     assert(e.getMessage.contains("expands to"))
   }
 
+  test("wildcard search equals disjunctive search over the brute expansion") {
+    val s = buildPositional(genDocs, buckets = 5)
+    val vocab = genDocs.flatMap { case (_, t) => Tokenizer.tokenize(t) }.distinct
+    for (pat <- Seq("*t", "c*s", "*a*", "de*", "*turn")) {
+      val rx = "^" + pat.replace("*", ".*") + "$"
+      val expanded = vocab.filter(_.matches(rx)).sorted
+      val got = s.searchWildcard(pat, 10).as[(Long, Double)].collect().toSeq
+      if (expanded.isEmpty) assert(got.isEmpty, s"'$pat' should be dead")
+      else {
+        val want = s.search(expanded.mkString(" "), 10)
+          .as[(Long, Double)].collect().toSeq
+        assert(want.nonEmpty, s"vacuous wildcard fixture '$pat'")
+        assert(got == want, s"wildcard '$pat' diverged")
+      }
+    }
+    // over-expansion and no-literal patterns fail loudly
+    val e = intercept[IllegalArgumentException](s.searchWildcard("*a*", 10, maxExpansion = 1))
+    assert(e.getMessage.contains("expands to"))
+    intercept[IllegalArgumentException](s.searchWildcard("**", 10))
+    intercept[IllegalArgumentException](s.searchWildcard("", 10))
+  }
+
   // ---- boolean NOT -------------------------------------------------------
 
   test("AND-NOT: bit-identical to the filtered-exact oracle; neg resolution rules") {

@@ -60,4 +60,38 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(!engine.exists(_._1 == qDoc), "query doc leaked into its own result")
     assert(engine == declarative)
   }
+
+  test("explain: raw parts fold to the exact search score; tf/df match the tables") {
+    val s = Fulltext.indexFor(spark, dir)
+    val q = Fulltext.RefQuery.mkString(" ")
+    val ex = s.explain(q, Fulltext.K).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(ex.nonEmpty)
+    val hits = s.search(q, Fulltext.K).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val byDoc = ex.groupBy(_._2)
+    assert(byDoc.keySet == hits.map(_._1).toSet, "explain docs != search docs")
+    // ranks and totals are search's, verbatim
+    hits.zipWithIndex.foreach { case ((d, sc), i) =>
+      assert(byDoc(d).forall(r => r._1 == i + 1 && r._7 == sc)) }
+    // the sorted-term left fold of raw parts reconstructs each score
+    // bit-for-bit — the same accumulation the scorer ran
+    for ((d, sc) <- hits) {
+      val fold = byDoc(d).sortBy(_._3).map(_._6).foldLeft(0.0)(_ + _)
+      assert(fold == sc, s"doc $d: part fold $fold != score $sc")
+    }
+    // tf/df columns equal the declarative tables (and every present
+    // (doc, term) pair appears — no dropped rows)
+    val tfTab = Fulltext.tfTable(spark, dir)
+      .where(col("doc_id").isin(hits.map(_._1): _*) &&
+        col("term").isin(Fulltext.RefQuery: _*))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ex.map(r => (r._2, r._3)).toSet == tfTab.keySet)
+    assert(ex.forall(r => tfTab((r._2, r._3)) == r._4))
+    val dfTab = Fulltext.dfTable(spark, dir)
+      .where(col("term").isin(Fulltext.RefQuery: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ex.forall(r => dfTab(r._3) == r._5))
+  }
 }
