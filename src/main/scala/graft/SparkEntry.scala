@@ -62,6 +62,14 @@ object SparkEntry {
     "eng_bm25_not" -> Fulltext.engBm25Not _,
     "eng_bool_query" -> Fulltext.engBoolQuery _,
     "eng_explain" -> Fulltext.engExplain _,
+    "eng_search_after" -> Fulltext.engSearchAfter _,
+    "eng_term_vector" -> Fulltext.engTermVector _,
+    "eng_facets" -> Fulltext.engFacets _,
+    "eng_synonym_search" -> Fulltext.engSynonymSearch _,
+    "eng_percolate" -> Fulltext.engPercolate _,
+    "eng_suggest" -> Fulltext.engSuggest _,
+    "eng_collocations" -> Fulltext.engCollocations _,
+    "eng_significant_terms" -> Fulltext.engSignificantTerms _,
     "eng_fsck" -> Fulltext.engFsck _,
     "eng_wildcard_search" -> Fulltext.engWildcardSearch _,
     // usearch key-API analogs
@@ -198,6 +206,14 @@ object SparkEntry {
     "eng_bm25_not" -> Fulltext.bm25NotSql(),
     "eng_bool_query" -> Fulltext.boolQuerySql(),
     "eng_explain" -> Fulltext.explainSql(),
+    "eng_search_after" -> Fulltext.searchAfterSql(),
+    "eng_term_vector" -> Fulltext.termVectorSql(),
+    "eng_facets" -> Fulltext.facetsSql(),
+    "eng_synonym_search" -> Fulltext.synonymSearchSql(),
+    "eng_percolate" -> Fulltext.percolateSql(),
+    "eng_suggest" -> Fulltext.suggestSql(),
+    "eng_collocations" -> Fulltext.collocationsSql(),
+    "eng_significant_terms" -> Fulltext.significantTermsSql(),
     "eng_fsck" -> Fulltext.engFsckSql,
     "eng_wildcard_search" -> Fulltext.wildcardSearchSql(),
     "u_contains" -> UsearchOps.containsSql,

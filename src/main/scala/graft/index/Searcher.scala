@@ -144,7 +144,8 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
       query: String,
       k: Int,
       exact: Boolean = false,
-      allow: Option[Long => Boolean] = None): Array[Hit] = synchronized {
+      allow: Option[Long => Boolean] = None,
+      after: Option[(Double, Long)] = None): Array[Hit] = synchronized {
     val qTerms = Tokenizer.tokenize(query).distinct.sorted
     val local = qTerms.flatMap(t => hotDict.get(t).map(t -> _)).toMap
     val live = qTerms.filter(t => local.get(t).exists(_.df > 0L))
@@ -163,7 +164,8 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
         cache.put(r.term, hotDecoded.computeIfAbsent((r.term, bucket),
           _ => graft.codec.PostingCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq)))
       }
-      Searcher.wandBucket(rows, dl, idfByTerm, stats.avgdl, 1.0, k, exact, allow, cache)
+      Searcher.wandBucket(rows, dl, idfByTerm, stats.avgdl, 1.0, k, exact, allow, cache,
+        after = after)
     }.toArray
     // the TakeOrderedAndProject merge, driver-side: same total order
     hits.sortBy(h => (-h.score, h.docId)).take(k)
@@ -359,6 +361,36 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
       .toDF("term", "doc_id")
   }
 
+  /** Document TERM VECTORS (the Lucene term-vectors / reference `get`
+    * analog for text payloads,
+    * /root/reference/include/usearch/index_dense.hpp:781-786): for each
+    * requested doc, every (term, tf) of the doc recovered from the
+    * INVERTED index — the corpus text is never read. Scale shape: the
+    * scan is pruned to the docs' buckets only (bucket = docId /
+    * bucketSize is a pure function of the id), but within those buckets
+    * every term row must be decoded — the inherent cost of serving a
+    * forward-index question from an inverted layout, documented rather
+    * than hidden (an engine whose users need this hot should keep the
+    * corpus table, which IS the forward index). Rows shuffle nothing:
+    * decode, filter to the requested ids, emit.
+    */
+  def termVectors(docIds: Seq[Long]): DataFrame = {
+    val empty = spark.emptyDataset[(Long, String, Long)].toDF("doc_id", "term", "tf")
+    if (docIds.isEmpty) return empty
+    val buckets = docIds.map(id => (id / stats.bucketSize).toInt).distinct
+    val idsB = spark.sparkContext.broadcast(docIds.toSet)
+    spark.read.parquet(layout.segments).as[PostingRow]
+      .where($"bucket".isin(buckets: _*))
+      .flatMap { row =>
+        val ids = idsB.value
+        val p = PostingCodec.decodeBlocks(row.blocks.map(_.bytes).toSeq)
+        p.docIds.iterator.zip(p.tfs.iterator)
+          .collect { case (d, tf) if ids(d) => (d, row.term, tf.toLong) }
+      }
+      .toDF("doc_id", "term", "tf")
+      .orderBy(col("doc_id"), col("term"))
+  }
+
   /** Whether this index was built with the positions sidecar
     * ([[IndexBuilder.buildPositions]]).
     */
@@ -489,6 +521,130 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
       }
       .toDF("query_id", "doc_id", "min_span", "span_start")
       .orderBy(col("query_id"), col("doc_id"))
+  }
+
+  /** Index-only COLLOCATION mining, batched: for each seed term, the
+    * top-n terms that immediately FOLLOW it in the corpus (the bigram
+    * "what comes next" table a query-suggestion / phrase-mining pipeline
+    * reads), counted from the positions sidecar alone — the corpus text
+    * is never read. Ranking is (pair count desc, follower asc): INTEGERS
+    * ONLY, reproducible across engines to the last row.
+    *
+    * Plan shape: ONE pruned dictionary read plans everything
+    * (dictionary-absent seeds die at planning); the seed side is a
+    * positions read pruned by term-IN + the seeds' bucket lists, decoded
+    * BLOCK-BY-BLOCK into (seed, bucket, doc, pos+1) rows; the follower
+    * side reads the same buckets' positions for all terms (bucket
+    * pushdown only — the token after a seed occurrence can be ANY term),
+    * decoded block-by-block into (bucket, doc, pos, term); an equi-join
+    * on (bucket, doc, pos) pairs them, a partial-aggregated count and a
+    * per-seed window (partitions bounded by the probe list) rank the
+    * followers. No task ever decodes a whole bucket (block granularity =
+    * [[graft.codec.PostingCodec.BlockSize]] docs); the join and count
+    * are ordinary shuffles. Cost is O(positions in the seeds' buckets) —
+    * the inherent lower bound for collocation mining, paid from the
+    * compressed sidecar instead of a corpus re-tokenize.
+    *
+    * Returns DataFrame(seed, rank, follower, n_pairs) ordered
+    * (seed, rank). A seed occurrence at end-of-document has no follower
+    * and contributes nothing (inner join).
+    */
+  def followersMany(seeds: Seq[String], n: Int): DataFrame = {
+    require(hasPositions,
+      s"index at $root has no positions sidecar — run IndexBuilder.buildPositions first")
+    val empty = spark.emptyDataset[(String, Int, String, Long)]
+      .toDF("seed", "rank", "follower", "n_pairs")
+    val norm = seeds.flatMap(Tokenizer.tokenize).distinct.sorted
+    val local = dictRows(norm)
+    val live = norm.filter(t => local.get(t).exists(_.df > 0L))
+    if (live.isEmpty) return empty
+    val buckets = live.flatMap(t => local(t).buckets).distinct
+    val seedOcc = spark.read.parquet(layout.positions).as[PosRow]
+      .where($"term".isin(live: _*) && $"bucket".isin(buckets: _*))
+      .flatMap { r =>
+        r.blocks.iterator.flatMap { b =>
+          val p = graft.codec.PositionCodec.decodeBlock(b.bytes)
+          p.docIds.iterator.zip(p.positions.iterator).flatMap { case (d, ps) =>
+            ps.iterator.map(pos => (r.term, r.bucket, d, pos + 1))
+          }
+        }
+      }
+      .toDF("seed", "bucket", "doc_id", "pos")
+    val followers = spark.read.parquet(layout.positions).as[PosRow]
+      .where($"bucket".isin(buckets: _*))
+      .flatMap { r =>
+        r.blocks.iterator.flatMap { b =>
+          val p = graft.codec.PositionCodec.decodeBlock(b.bytes)
+          p.docIds.iterator.zip(p.positions.iterator).flatMap { case (d, ps) =>
+            ps.iterator.map(pos => (r.bucket, d, pos, r.term))
+          }
+        }
+      }
+      .toDF("bucket", "doc_id", "pos", "follower")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"seed").orderBy($"n_pairs".desc, $"follower".asc)
+    seedOcc.join(followers, Seq("bucket", "doc_id", "pos"))
+      .groupBy($"seed", $"follower")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= n)
+      .select($"seed", $"rank", $"follower", $"n_pairs")
+      .orderBy($"seed", $"rank")
+  }
+
+  /** SIGNIFICANT TERMS of a match set (the Elasticsearch
+    * significant_terms aggregation shape): for the documents matching a
+    * disjunctive query, the terms most concentrated in that match set,
+    * ranked by foreground share share_bp = (10000·df_fg) div df —
+    * the integer basis-point fraction of a term's corpus docs that lie
+    * inside the match set. INTEGERS ONLY end-to-end (rank =
+    * share_bp desc, df_fg desc, term asc), so both engines agree to the
+    * last row; the query's own terms rank at 10000 by construction,
+    * self-validating the contract.
+    *
+    * Plan shape: match docs come from [[postingDocIds]] (pruned posting
+    * reads); the foreground term counts decode the segments table pruned
+    * to the QUERY TERMS' buckets (every match doc lives there — bucket =
+    * docId range), block-by-block, semi-joined to the match set before
+    * the count; background df is the dictionary column. One shuffle for
+    * the semi-join, partial-aggregated counts, a single bounded window.
+    * Nothing reads the corpus text and nothing scales with the
+    * vocabulary beyond the matched buckets' postings.
+    */
+  def significantTerms(queryTerms: Seq[String], n: Int,
+      minDfFg: Long = 2L): DataFrame = {
+    val norm = queryTerms.flatMap(Tokenizer.tokenize).distinct.sorted
+    val empty = spark.emptyDataset[(String, Long, Long, Long, Int)]
+      .toDF("term", "df_fg", "df", "share_bp", "rank")
+    val local = dictRows(norm)
+    val live = norm.filter(t => local.get(t).exists(_.df > 0L))
+    if (live.isEmpty) return empty
+    val buckets = live.flatMap(t => local(t).buckets).distinct
+    val matches = postingDocIds(live).select($"doc_id").distinct()
+    val fgPairs = spark.read.parquet(layout.segments).as[PostingRow]
+      .where($"bucket".isin(buckets: _*))
+      .flatMap { r =>
+        r.blocks.iterator.flatMap { b =>
+          val p = graft.codec.PostingCodec.decodeBlock(b.bytes)
+          p.docIds.iterator.map(d => (r.term, d))
+        }
+      }
+      .toDF("term", "doc_id")
+    val fg = fgPairs
+      .join(matches, Seq("doc_id"), "left_semi")
+      .groupBy($"term").agg(count(lit(1)).as("df_fg"))
+      .where($"df_fg" >= minDfFg)
+    // distributed top-n (TakeOrderedAndProject — no global window over
+    // the full vocabulary), then the rank numbering over ≤ n rows
+    val top = fg.join(dictDS.select($"term", $"df"), "term")
+      .withColumn("share_bp", expr("(10000 * df_fg) div df"))
+      .orderBy($"share_bp".desc, $"df_fg".desc, $"term".asc)
+      .limit(n)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"share_bp".desc, $"df_fg".desc, $"term".asc)
+    top.withColumn("rank", row_number().over(w))
+      .select($"term", $"df_fg", $"df", $"share_bp", $"rank")
+      .orderBy($"rank")
   }
 
   /** Batched CONJUNCTIVE (AND-semantics) BM25 top-k: only documents
@@ -735,7 +891,8 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
       allow: Option[Long => Boolean] = None,
       globalStats: Option[GlobalStats] = None,
       counters: Option[SearchCounters] = None,
-      negQuery: String = ""): DataFrame = {
+      negQuery: String = "",
+      after: Option[(Double, Long)] = None): DataFrame = {
     val negTerms = Tokenizer.tokenize(negQuery).distinct.sorted
     // a term both offered and forbidden can never contribute: every doc
     // containing it is excluded, so the negation wins per-term at
@@ -796,6 +953,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     val avgdlLocal = g.avgdl
     val ubScaleLocal = ubScale
     val countersLocal = counters.orNull
+    val afterLocal = after
 
     val perBucket = postings
       .groupByKey(_.bucket)
@@ -828,7 +986,8 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
             }
           Searcher.wandBucket(
             posRows, dl, idfB.value, avgdlLocal, ubScaleLocal,
-            kLocal, exactLocal, effAllow, counters = countersLocal)
+            kLocal, exactLocal, effAllow, counters = countersLocal,
+            after = afterLocal)
         }
       }
 
@@ -840,6 +999,124 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
 
   /** Exact search convenience (full scoring, no pruning). */
   def searchExact(query: String, k: Int): DataFrame = search(query, k, exact = true)
+
+  /** SEARCH-AFTER deep pagination (the Lucene `searchAfter` analog; the
+    * reference's paging surface is `export_keys`' offset/limit,
+    * /root/reference/python/lib.cpp:320-340): the next k hits strictly
+    * after the cursor `(score, docId)` in the (score desc, docId asc)
+    * total order. Page p+1 is bit-identical to
+    * `search(query, k·(p+1))` rows `k·p..k·(p+1)` (pinned in
+    * RetrievalModesSpec) WITHOUT re-merging a k·(p+1) heap: each bucket
+    * keeps a k-sized heap of post-cursor docs only, so deep pages don't
+    * grow per-task memory or the merged row count — the property that
+    * matters when a 100 TB corpus serves page 1000. Scores are
+    * bit-identical doubles everywhere, so the cursor's equality arm is
+    * exact (no epsilon).
+    */
+  def searchAfter(query: String, k: Int, after: (Double, Long)): DataFrame =
+    search(query, k, after = Some(after))
+
+  /** SYNONYM-GROUP search (Lucene SynonymQuery semantics; the reference's
+    * analog is scoring against a multi-member key,
+    * /root/reference/include/usearch/index_dense.hpp:781-786 multi-vector
+    * direction): each group of terms behaves as ONE pseudo-term —
+    * per-doc tf' = Σ member tfs (integer addition, order-free), group
+    * df' = MAX member df (the SynonymQuery docFreq rule: an upper bound
+    * that never double-counts co-occurring synonyms), score = left fold
+    * over groups in ascending canonical-member order of
+    * idf(df') · tfNorm(tf', dl) — the same deterministic-fold discipline
+    * as the term path.
+    *
+    * Scale shape: identical to [[search]] — one pruned dictionary read
+    * plans everything, one term-IN + bucket-IN segments scan, per-bucket
+    * TAAT merge of member postings (bounded by bucket width), bounded
+    * top-k per bucket, one global k-merge.
+    */
+  def searchSynonym(groups: Seq[Seq[String]], k: Int): DataFrame = {
+    val norm: Seq[Seq[String]] =
+      groups.map(_.flatMap(Tokenizer.tokenize).distinct.sorted).filter(_.nonEmpty)
+    val flat = norm.flatten
+    require(flat.distinct.size == flat.size,
+      s"synonym groups must be disjoint, got $groups")
+    if (norm.isEmpty) return spark.emptyDataset[Hit].toDF("doc_id", "score")
+    val local = dictRows(flat.distinct.sorted)
+    // fold order = ascending canonical (pre-liveness) head, a pure
+    // function of the QUERY — a dict-absent first member must not
+    // reshuffle the accumulation order an oracle derives statically.
+    // Members absent from the dictionary then drop out of their group
+    // (the disjunctive dead-term rule, per member); a fully-dead group
+    // contributes exactly nothing, so dropping it is exact.
+    val live = norm
+      .sortBy(_.head)
+      .map(_.filter(t => local.get(t).exists(_.df > 0L)))
+      .filter(_.nonEmpty)
+    if (live.isEmpty) return spark.emptyDataset[Hit].toDF("doc_id", "score")
+    val idfs: Array[Double] =
+      live.map(g => Bm25.idf(g.map(t => local(t).df).max, stats.nDocs)).toArray
+    val groupOf: Map[String, Int] =
+      live.zipWithIndex.flatMap { case (g, i) => g.map(_ -> i) }.toMap
+    val buckets = live.flatten.flatMap(t => local(t).buckets.toSeq).distinct
+    if (buckets.isEmpty) return spark.emptyDataset[Hit].toDF("doc_id", "score")
+
+    val scanTerms = live.flatten
+    val postings = spark.read.parquet(layout.segments).as[PostingRow]
+      .where($"term".isin(scanTerms: _*) && $"bucket".isin(buckets: _*))
+    val doclens = doclensDS.where($"bucket".isin(buckets: _*))
+    val groupOfB = spark.sparkContext.broadcast(groupOf)
+    val idfsB = spark.sparkContext.broadcast(idfs)
+    val kLocal = k
+    val avgdlLocal = stats.avgdl
+
+    val perBucket = postings
+      .groupByKey(_.bucket)
+      .cogroup(doclens.groupByKey(_.bucket)) { (bucket, posts, lens) =>
+        val postsArr = posts.toArray
+        val lensArr = lens.toArray
+        if (postsArr.isEmpty) Iterator.empty
+        else if (lensArr.isEmpty)
+          throw new IllegalStateException(
+            s"index invariant violated: bucket $bucket has postings but no doclens row ($root)")
+        else {
+          val dl = lensArr.head
+          val nG = idfsB.value.length
+          // per-group doc → summed tf (int adds — merge order free)
+          val tfByGroup = Array.fill(nG)(new java.util.HashMap[Long, Int]())
+          postsArr.foreach { r =>
+            val gi = groupOfB.value(r.term)
+            val p = PostingCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq)
+            var i = 0
+            while (i < p.size) {
+              tfByGroup(gi).merge(p.docIds(i), p.tfs(i), (a, b) => a + b)
+              i += 1
+            }
+          }
+          val union = new java.util.HashSet[Long]()
+          tfByGroup.foreach(m => union.addAll(m.keySet()))
+          val dIds = dl.docIds
+          val dLens = dl.lens
+          val topk = new Searcher.TopK(kLocal)
+          val it = union.iterator()
+          while (it.hasNext) {
+            val d = it.next()
+            val len = dLens(java.util.Arrays.binarySearch(dIds, d))
+            var s = 0.0
+            var gi = 0
+            // fixed ascending group order — deterministic accumulation
+            while (gi < nG) {
+              val tf = tfByGroup(gi).getOrDefault(d, 0)
+              if (tf > 0) s += idfsB.value(gi) * Bm25.tfNorm(tf, len, avgdlLocal)
+              gi += 1
+            }
+            topk.offer(d, s)
+          }
+          topk.result
+        }
+      }
+    perBucket
+      .toDF("doc_id", "score")
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
 
   /** Score EXPLAIN (the Lucene `explain` analog; the reference's
     * per-metric score introspection is `distance_between`,
@@ -1014,6 +1291,58 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
         id -> byProbe(id).mkString(" ")
     }
     if (synth.isEmpty) emptyMany else searchMany(synth, k)
+  }
+
+  /** DID-YOU-MEAN term suggestion (the Lucene DirectSpellChecker shape;
+    * the reference's analog is approximate lookup over stored keys,
+    * /root/reference/include/usearch/index_dense.hpp:774-786): for each
+    * probe, the top-n dictionary terms within `maxDist` edits, ranked by
+    * (distance asc, df desc, term asc) — INTEGERS ONLY, never a float
+    * similarity, so the ranking is reproducible across engines to the
+    * last row. An exact dictionary hit ranks first at distance 0 (the
+    * caller can drop it; keeping it makes the contract total).
+    *
+    * Scale shape: ONE column-pruned dictionary scan for the whole batch
+    * (coarse length band is the pushable predicate; the bounded DP runs
+    * executor-side), then a per-probe window rank over the edit ball —
+    * bounded by vocabulary within `maxDist` edits, never by corpus size.
+    * Returns (query_id, rank, term, dist, df) ordered (query_id, rank).
+    */
+  def suggestMany(probes: Seq[(Int, String)], n: Int,
+      maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 4, s"maxDist must be in [0,4], got $maxDist")
+    val norm: Seq[(Int, String)] = probes.map { case (id, p) =>
+      val toks = Tokenizer.tokenize(p)
+      require(toks.length == 1,
+        s"suggest probe must normalize to exactly one token, got '$p'")
+      (id, toks.head)
+    }
+    val empty = spark.emptyDataset[(Int, Int, String, Int, Long)]
+      .toDF("query_id", "rank", "term", "dist", "df")
+    if (norm.isEmpty) return empty
+    val lenMin = norm.iterator.map(_._2.length).min - maxDist
+    val lenMax = norm.iterator.map(_._2.length).max + maxDist
+    val pb = spark.sparkContext.broadcast(norm.toArray)
+    val mdLocal = maxDist
+    val matches = dictDS
+      .where(length($"term").between(lenMin, lenMax))
+      .select($"term", $"df")
+      .as[(String, Long)]
+      .flatMap { case (t, df) =>
+        pb.value.iterator.flatMap { case (id, q) =>
+          val d = Searcher.levDistWithin(t, q, mdLocal)
+          if (d >= 0) Iterator.single((id, t, d, df)) else Iterator.empty
+        }
+      }
+      .toDF("query_id", "term", "dist", "df")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id")
+      .orderBy($"dist".asc, $"df".desc, $"term".asc)
+    matches
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= n)
+      .select($"query_id", $"rank", $"term", $"dist", $"df")
+      .orderBy($"query_id", $"rank")
   }
 
   /** Unified BOOLEAN query (the Lucene-style MUST / SHOULD / MUST_NOT /
@@ -1275,6 +1604,32 @@ object Searcher {
     * distributed path and the oracle both use those; this one only runs
     * over the already-resident serving-mode dictionary).
     */
+  /** Bounded Levenshtein distance: the exact edit distance if ≤ maxDist,
+    * else -1 (same early-exit band as [[levWithin]]; semantically
+    * identical to Spark's and DuckDB's thresholded `levenshtein`).
+    */
+  private[graft] def levDistWithin(a: String, b: String, maxDist: Int): Int = {
+    if (math.abs(a.length - b.length) > maxDist) return -1
+    var prev = Array.tabulate(b.length + 1)(identity)
+    var cur = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      var rowMin = i
+      var j = 1
+      while (j <= b.length) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        if (cur(j) < rowMin) rowMin = cur(j)
+        j += 1
+      }
+      if (rowMin > maxDist) return -1
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    if (prev(b.length) <= maxDist) prev(b.length) else -1
+  }
+
   private[graft] def levWithin(a: String, b: String, maxDist: Int): Boolean = {
     if (math.abs(a.length - b.length) > maxDist) return false
     var prev = Array.tabulate(b.length + 1)(identity)
@@ -1908,7 +2263,8 @@ object Searcher {
       exact: Boolean,
       allow: Option[Long => Boolean],
       decodedCache: java.util.HashMap[String, graft.codec.Postings] = null,
-      counters: SearchCounters = null): Iterator[Hit] = {
+      counters: SearchCounters = null,
+      after: Option[(Double, Long)] = None): Iterator[Hit] = {
     // cursors in fixed sorted-term order → deterministic accumulation
     val byTerm = rows.sortBy(_.term)
     val cursors = byTerm.map { r =>
@@ -1981,7 +2337,16 @@ object Searcher {
                   s += cur.idf * Bm25.tfNorm(cur.curTf, dl, avgdl)
                 c += 1
               }
-              topk.offer(pivotDoc, s)
+              // search-after cursor: only docs STRICTLY after (afterScore,
+              // afterId) in the (score desc, docId asc) total order enter
+              // the heap, so θ tracks the k-th best of THIS page — scores
+              // are bit-identical doubles everywhere, so the equality arm
+              // of the tiebreak is exact, and pruning stays sound because
+              // a doc with UB < θ can't beat the page's k-th qualifier
+              val qualifies = after.forall { case (as, ai) =>
+                s < as || (s == as && pivotDoc > ai)
+              }
+              if (qualifies) topk.offer(pivotDoc, s)
             }
             var c = 0
             while (c < cursors.length) {

@@ -489,6 +489,291 @@ object Fulltext {
        |) u ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Fixed doc ids for the term-vector entry: present at every sf (ids
+    * are dense from 0), spanning two buckets at the default geometry.
+    */
+  final val TermVectorDocs: Seq[Long] = Seq(7L, 12L, 42L)
+
+  /** Document TERM VECTORS entry (forward-index `get` served from the
+    * inverted index, [[graft.index.Searcher.termVectors]] — bucket-pruned
+    * scan, corpus text never read).
+    */
+  def engTermVector(spark: SparkSession, dir: String): DataFrame =
+    indexFor(spark, dir).termVectors(TermVectorDocs)
+
+  def termVectorSql(ids: Seq[Long] = TermVectorDocs): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents)
+       |SELECT doc_id, term, count(*) AS tf FROM tok
+       |WHERE doc_id IN (${ids.mkString(", ")})
+       |GROUP BY 1, 2 ORDER BY doc_id, term""".stripMargin
+
+  /** FACETED search entry: facet counts over the full disjunctive match
+    * set of the reference query (every doc containing ANY query term,
+    * not just the top-k), by `lang` and by `source` — the search-engine
+    * aggregation a user reads next to the hit list. Candidates come from
+    * pruned posting reads ([[graft.index.Searcher.postingDocIds]]), the
+    * metadata join is a column-pruned doc_id equi-join, and the counts
+    * are partial-aggregated — nothing driver-side, nothing text-read.
+    */
+  def engFacets(spark: SparkSession, dir: String): DataFrame = {
+    val s = indexFor(spark, dir)
+    val matches = s.postingDocIds(RefQuery).select(col("doc_id")).distinct()
+    val meta = docs(spark, dir).select(col("doc_id"), col("lang"), col("source"))
+    val joined = matches.join(meta, "doc_id")
+    joined.groupBy(col("lang").as("value")).agg(count(lit(1)).as("n_docs"))
+      .select(lit("lang").as("facet"), col("value"), col("n_docs"))
+      .unionAll(
+        joined.groupBy(col("source").as("value")).agg(count(lit(1)).as("n_docs"))
+          .select(lit("source").as("facet"), col("value"), col("n_docs")))
+      .orderBy(col("facet"), col("value"))
+  }
+
+  def facetsSql(queryTerms: Seq[String] = RefQuery): String = {
+    val termList = queryTerms.distinct.sorted.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ($termList))
+       |SELECT facet, value, n_docs FROM (
+       |  SELECT 'lang' AS facet, lang AS value, count(*) AS n_docs
+       |  FROM documents JOIN m USING (doc_id) GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT 'source' AS facet, source AS value, count(*) AS n_docs
+       |  FROM documents JOIN m USING (doc_id) GROUP BY 1, 2
+       |) u ORDER BY facet, value""".stripMargin
+  }
+
+  /** Synonym groups for the entry: two common synonyms; a rare term
+    * grouped with a common one (df' = the common df, but the rare tf
+    * still counts — the SynonymQuery asymmetry worth pinning); a
+    * singleton (≡ the plain term); a group with a dictionary-absent
+    * member (drops out, the survivor still scores).
+    */
+  final val SynonymGroups: Seq[Seq[String]] = Seq(
+    Seq("merge", "join"),
+    Seq("dup", "row"),
+    Seq("scan"),
+    Seq("vector", "zzznope"))
+
+  /** SYNONYM search entry ([[graft.index.Searcher.searchSynonym]] —
+    * Lucene SynonymQuery semantics: per-doc tf' = Σ member tfs, group
+    * df' = MAX member df, groups folded in ascending canonical-head
+    * order).
+    */
+  def engSynonymSearch(spark: SparkSession, dir: String): DataFrame =
+    indexFor(spark, dir).searchSynonym(SynonymGroups, K)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+
+  /** Oracle for [[engSynonymSearch]]: the SAME normalization pipeline
+    * (tokenize members, distinct+sort within group, sort groups by
+    * canonical head) assigns each group its fold index; tf' sums are
+    * integral, df' is a per-group MAX over the members present in the
+    * corpus, and the score folds group parts in ascending index with
+    * COALESCE(…, 0.0) (adding 0.0 is exact).
+    */
+  def synonymSearchSql(groups: Seq[Seq[String]] = SynonymGroups, k: Int = K): String = {
+    val norm = groups
+      .map(_.flatMap(Tokenizer.tokenize).distinct.sorted)
+      .filter(_.nonEmpty)
+      .sortBy(_.head)
+    val allTerms = norm.flatten.sorted.map(t => s"'$t'").mkString(", ")
+    def inList(g: Seq[String]) = g.map(t => s"'$t'").mkString(", ")
+    val caseG = norm.zipWithIndex
+      .map { case (g, i) => s"WHEN term IN (${inList(g)}) THEN $i" }
+      .mkString("CASE ", " ", " END")
+    val part = graft.query.Bm25.sqlScore("gtf.tfg", "gdf.df", "dl.dl", "st.n", "st.avgdl")
+    val fold = norm.indices
+      .map(i => s"COALESCE(MAX(CASE WHEN gtf.g = $i THEN $part END), 0.0)")
+      .mkString("(", " + ", ")")
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+       |              CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+       |dfq AS (SELECT term, count(*) AS df FROM tf WHERE term IN ($allTerms) GROUP BY 1),
+       |gdf AS (SELECT $caseG AS g, MAX(df) AS df FROM dfq GROUP BY 1),
+       |gtf AS (SELECT doc_id, $caseG AS g, CAST(sum(tf) AS BIGINT) AS tfg
+       |        FROM tf WHERE term IN ($allTerms) GROUP BY 1, 2)
+       |SELECT doc_id, round(score_raw, 4) AS score FROM (
+       |  SELECT gtf.doc_id, $fold AS score_raw,
+       |         row_number() OVER (ORDER BY $fold DESC, gtf.doc_id) AS rnk
+       |  FROM gtf JOIN gdf USING (g) JOIN dl USING (doc_id) CROSS JOIN st
+       |  GROUP BY gtf.doc_id) x
+       |WHERE rnk <= $k ORDER BY score DESC, doc_id""".stripMargin
+  }
+
+  /** Stored percolation queries (conjunctive term sets): a common pair,
+    * a rare+common conjunction, a three-way, and an absent-term canary
+    * that must match nothing.
+    */
+  final val PercolateQueries: Seq[(Int, Seq[String])] = Seq(
+    (0, Seq("spark", "merge")),
+    (1, Seq("dup", "scan")),
+    (2, Seq("customer", "window", "batch")),
+    (3, Seq("zzznope", "spark")))
+
+  /** PERCOLATE (reverse search, the Lucene/Elasticsearch percolator):
+    * match INCOMING documents against STORED queries — the streaming-
+    * alert shape (route each arriving doc to the saved searches it
+    * satisfies). Conjunctive semantics: a doc matches a query iff it
+    * contains EVERY query term. Scale shape: tokenize arrivals once,
+    * distinct (doc, term), broadcast-join the (tiny) stored-query term
+    * table, count distinct matched terms per (query, doc) — matches iff
+    * the count equals the query's term count. Nothing scales with the
+    * corpus: only arrivals are read; state is the stored-query table.
+    */
+  def percolate(
+      spark: SparkSession,
+      arrivals: DataFrame,
+      queries: Seq[(Int, Seq[String])]): DataFrame = {
+    import spark.implicits._
+    val qNorm = queries
+      .map { case (qid, ts) => (qid, ts.flatMap(Tokenizer.tokenize).distinct.sorted) }
+      .filter(_._2.nonEmpty)
+    val qTerms = qNorm
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val qSizes = qNorm.map { case (qid, ts) => (qid, ts.size.toLong) }
+      .toDF("query_id", "n_terms")
+    val docTerms = arrivals
+      .select(col("doc_id"), explode(Tokenizer.tokensCol(col("text"))).as("term"))
+      .distinct()
+    docTerms
+      .join(broadcast(qTerms), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matched")) // (doc, term) pre-distinct
+      .join(broadcast(qSizes), "query_id")
+      .where(col("n_matched") === col("n_terms"))
+      .select(col("query_id"), col("doc_id"))
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
+  /** Percolate entry: arrivals = the deterministic doc_id % 17 slice of
+    * the corpus (stand-in for a stream micro-batch), stored queries =
+    * [[PercolateQueries]].
+    */
+  def engPercolate(spark: SparkSession, dir: String): DataFrame =
+    percolate(spark, docs(spark, dir).where(col("doc_id") % 17 === 0),
+      PercolateQueries)
+
+  def percolateSql(queries: Seq[(Int, Seq[String])] = PercolateQueries): String = {
+    val selects = queries.map { case (qid, ts) =>
+      val norm = ts.flatMap(Tokenizer.tokenize).distinct.sorted
+      s"""SELECT $qid AS query_id, doc_id FROM d
+         |WHERE term IN (${norm.map(t => s"'$t'").mkString(", ")})
+         |GROUP BY doc_id HAVING count(DISTINCT term) = ${norm.size}""".stripMargin
+    }
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |d AS (SELECT DISTINCT doc_id, term FROM tok WHERE doc_id % 17 = 0)
+       |SELECT query_id, doc_id FROM (
+       |${selects.mkString("\nUNION ALL\n")}
+       |) u ORDER BY query_id, doc_id""".stripMargin
+  }
+
+  /** Did-you-mean probes: a 1-edit misspelling of a common term, a
+    * 2-edit one, an exact dictionary hit (distance 0 must rank first),
+    * and a gibberish canary with nothing inside the edit ball (emits no
+    * rows on either engine).
+    */
+  final val SuggestProbes: Seq[(Int, String)] = Seq(
+    (0, "mergee"),
+    (1, "vektor"),
+    (2, "spark"),
+    (3, "windoww"),
+    (4, "zzzqqq"))
+
+  /** DID-YOU-MEAN suggester entry ([[graft.index.Searcher.suggestMany]]
+    * — one column-pruned dictionary scan for the whole probe batch,
+    * candidates ranked (dist asc, df desc, term asc), integers only).
+    */
+  def engSuggest(spark: SparkSession, dir: String): DataFrame =
+    indexFor(spark, dir).suggestMany(SuggestProbes, n = 5)
+
+  /** Oracle for [[engSuggest]]: the dictionary recomputed from tokens
+    * (df = docs containing the term), DuckDB's own `levenshtein` for the
+    * edit ball, the identical integer rank — no floats anywhere.
+    */
+  def suggestSql(probes: Seq[(Int, String)] = SuggestProbes,
+      n: Int = 5, maxDist: Int = 2): String = {
+    val vals = probes.map { case (id, p) =>
+      s"($id, '${Tokenizer.tokenize(p).head}')"
+    }.mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+       |probes(query_id, q) AS (VALUES $vals),
+       |cand AS (SELECT p.query_id, d.term,
+       |                CAST(levenshtein(d.term, p.q) AS INT) AS dist,
+       |                CAST(d.df AS BIGINT) AS df
+       |         FROM dict d CROSS JOIN probes p
+       |         WHERE levenshtein(d.term, p.q) <= $maxDist)
+       |SELECT query_id, CAST(rnk AS INT) AS rank, term, dist, df FROM (
+       |  SELECT query_id, term, dist, df,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY dist, df DESC, term) AS rnk
+       |  FROM cand) x
+       |WHERE rnk <= $n ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Collocation seeds: the reference query's terms plus a
+    * dictionary-absent canary (dies at planning, emits nothing).
+    */
+  final val CollocationSeeds: Seq[String] = Seq("spark", "merge", "dup", "zzznope")
+
+  /** COLLOCATION entry ([[graft.index.Searcher.followersMany]] — the
+    * top following-terms per seed, counted from the positions sidecar
+    * alone; integer rank (n_pairs desc, follower asc)).
+    */
+  def engCollocations(spark: SparkSession, dir: String): DataFrame =
+    indexFor(spark, dir).followersMany(CollocationSeeds, n = 5)
+
+  /** Oracle for [[engCollocations]]: tokens with 1-based ordinality via
+    * `range(1, len+1)`, adjacency self-join, the identical integer rank.
+    */
+  def collocationsSql(seeds: Seq[String] = CollocationSeeds, n: Int = 5): String = {
+    val seedList = seeds.flatMap(Tokenizer.tokenize).distinct.sorted
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, ${Tokenizer.duckdbTokensSql("text")} AS toks FROM documents),
+       |idx AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM d),
+       |tok AS (SELECT doc_id, i AS pos, toks[i] AS term FROM idx),
+       |cnt AS (SELECT a.term AS seed, b.term AS follower, count(*) AS n_pairs
+       |        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |        WHERE a.term IN ($seedList) GROUP BY 1, 2)
+       |SELECT seed, CAST(rnk AS INT) AS rank, follower, n_pairs FROM (
+       |  SELECT seed, follower, n_pairs,
+       |         row_number() OVER (PARTITION BY seed
+       |           ORDER BY n_pairs DESC, follower) AS rnk
+       |  FROM cnt) x
+       |WHERE rnk <= $n ORDER BY seed, rank""".stripMargin
+  }
+
+  /** SIGNIFICANT-TERMS entry ([[graft.index.Searcher.significantTerms]]
+    * over the reference query's match set — integer basis-point
+    * foreground share, ranked (share_bp desc, df_fg desc, term asc)).
+    */
+  def engSignificantTerms(spark: SparkSession, dir: String): DataFrame =
+    indexFor(spark, dir).significantTerms(RefQuery, n = 15)
+
+  /** Oracle for [[engSignificantTerms]]: df recomputed from distinct
+    * (doc, term) pairs, the same BIGINT floor-division share — DuckDB
+    * `//` and Spark `div` agree on non-negative integers.
+    */
+  def significantTermsSql(queryTerms: Seq[String] = RefQuery,
+      n: Int = 15, minDfFg: Long = 2L): String = {
+    val termList = queryTerms.flatMap(Tokenizer.tokenize).distinct.sorted
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |td AS (SELECT DISTINCT doc_id, term FROM tok),
+       |m AS (SELECT DISTINCT doc_id FROM td WHERE term IN ($termList)),
+       |fg AS (SELECT term, CAST(count(*) AS BIGINT) AS df_fg
+       |       FROM td JOIN m USING (doc_id) GROUP BY 1 HAVING count(*) >= $minDfFg),
+       |bg AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM td GROUP BY 1)
+       |SELECT term, df_fg, df, share_bp, CAST(rnk AS INT) AS rank FROM (
+       |  SELECT fg.term AS term, df_fg, df,
+       |         CAST((10000 * df_fg) // df AS BIGINT) AS share_bp,
+       |         row_number() OVER (ORDER BY (10000 * df_fg) // df DESC,
+       |           df_fg DESC, fg.term) AS rnk
+       |  FROM fg JOIN bg USING (term)) x
+       |WHERE rnk <= $n ORDER BY rank""".stripMargin
+  }
+
   /** Fuzzy probe set: (query_id, probe, maxDist). One multi-term
     * expansion (part~2 → fast/part/sort on this vocabulary), two typo
     * corrections (mergee~1 → merge, qury~1 → query), one expansion-empty
@@ -765,6 +1050,59 @@ object Fulltext {
     val s = indexFor(spark, dir)
     s.searchExact(RefQuery.mkString(" "), K)
       .select(col("doc_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** SEARCH-AFTER deep pagination entry: pages 2 and 3 of the reference
+    * query fetched by chained cursors
+    * ([[graft.index.Searcher.searchAfter]] — each page is a fresh
+    * k-sized WAND, never a k·page re-merge). `rank` is the GLOBAL rank
+    * (11..30), so the oracle is one row_number window sliced to the two
+    * pages.
+    */
+  def engSearchAfter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = indexFor(spark, dir)
+    val q = RefQuery.mkString(" ")
+    var cursor = s.search(q, K).as[(Long, Double)].collect().last match {
+      case (d, sc) => (sc, d)
+    }
+    val pages = (2 to 3).map { page =>
+      val hits = s.searchAfter(q, K, cursor).as[(Long, Double)].collect()
+      cursor = (hits.last._2, hits.last._1)
+      hits.zipWithIndex.map { case ((d, sc), i) =>
+        (page, (page - 1) * K + i + 1, d, sc)
+      }.toSeq
+    }
+    pages.flatten
+      .toDF("page", "rank", "doc_id", "score")
+      .select(col("page"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+      .orderBy(col("rank"))
+  }
+
+  /** Oracle for [[engSearchAfter]]: the full-corpus fold ranking sliced
+    * to global ranks k+1..3k (`//` keeps the page arithmetic integral —
+    * DuckDB CAST on a double ROUNDS).
+    */
+  def searchAfterSql(queryTerms: Seq[String] = RefQuery, k: Int = K): String = {
+    val terms = queryTerms.distinct.sorted
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val fold = foldScoreSqlAny(terms)
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+       |              CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl)
+       |SELECT CAST((rnk - 1) // $k + 1 AS INT) AS page, CAST(rnk AS INT) AS rank,
+       |  doc_id, round(score_raw, 4) AS score FROM (
+       |  SELECT tf.doc_id, $fold AS score_raw,
+       |         row_number() OVER (ORDER BY $fold DESC, tf.doc_id) AS rnk
+       |  FROM tf JOIN (SELECT term, count(*) AS df FROM tf WHERE term IN ($termList) GROUP BY 1) dfq USING (term)
+       |  JOIN dl USING (doc_id) CROSS JOIN st
+       |  WHERE tf.term IN ($termList)
+       |  GROUP BY tf.doc_id) x
+       |WHERE rnk > $k AND rnk <= ${3 * k}
+       |ORDER BY rank""".stripMargin
   }
 
   /** Fixed query set for the batched engine entry. */

@@ -292,6 +292,98 @@ class RetrievalModesSpec extends SparkSpec {
     intercept[IllegalArgumentException](s.searchWildcard("", 10))
   }
 
+  // ---- search-after pagination -------------------------------------------
+
+  test("searchAfter: page p+1 bit-identical to deep-search slice; hot path agrees") {
+    val root = Files.createTempDirectory("graft-idx-sa-").toString
+    IndexBuilder.build(spark, genDocs.toDF("doc_id", "content"), root, targetBuckets = 5)
+    val s = new Searcher(spark, root)
+    val hot = new Searcher(spark, root, cacheHot = true)
+    // query = the corpus's own three hottest tokens, so ≥ 5 pages exist
+    val q = genDocs.flatMap { case (_, t) => Tokenizer.tokenize(t) }
+      .groupBy(identity).toSeq
+      .sortBy { case (t, xs) => (-xs.size, t) }
+      .take(3).map(_._1).mkString(" ")
+    val k = 7
+    val deep = s.search(q, 5 * k).as[(Long, Double)].collect().toSeq
+    assert(deep.size == 5 * k, "fixture too small for 5 pages")
+    var cursor = (deep(k - 1)._2, deep(k - 1)._1)
+    for (page <- 1 until 5) {
+      val want = deep.slice(page * k, (page + 1) * k)
+      val got = s.searchAfter(q, k, cursor).as[(Long, Double)].collect().toSeq
+      assert(got == want, s"page ${page + 1} diverged from the deep slice")
+      val gotHot = hot.searchHot(q, k, after = Some(cursor))
+        .map(h => (h.docId, h.score)).toSeq
+      assert(gotHot == got, s"hot page ${page + 1} diverged")
+      cursor = (got.last._2, got.last._1)
+    }
+    // a cursor that ties the score mid-run resumes strictly after its id:
+    // re-paging from EVERY row of the deep ranking must reproduce the rest
+    for (i <- deep.indices.take(2 * k)) {
+      val next = s.searchAfter(q, 3, (deep(i)._2, deep(i)._1))
+        .as[(Long, Double)].collect().toSeq
+      assert(next == deep.slice(i + 1, i + 4), s"resume from rank ${i + 1} diverged")
+    }
+    // past-the-end cursor → empty page
+    assert(s.searchAfter(q, k, (Double.NegativeInfinity, Long.MaxValue)).count() == 0L)
+    // resuming after the deep tail returns only strictly-after rows
+    val last = deep.last
+    val tail = s.searchAfter(q, 5 * k, (last._2, last._1)).as[(Long, Double)].collect()
+    assert(tail.forall { case (d, sc) => sc < last._2 || (sc == last._2 && d > last._1) })
+  }
+
+  // ---- synonym groups ------------------------------------------------------
+
+  test("searchSynonym: bit-identical to the SynonymQuery brute force; edge rules") {
+    val s = buildPositional(genDocs, buckets = 5)
+    val n = genDocs.size.toLong
+    val tfByDoc: Map[Long, Map[String, Int]] = genDocs.map { case (d, t) =>
+      d -> Tokenizer.tokenize(t).groupBy(identity).map { case (w, xs) => w -> xs.length }
+    }.toMap
+    val dls = genDocs.map { case (d, t) => d -> Tokenizer.tokenize(t).length.toLong }.toMap
+    val avgdl = dls.values.sum.toDouble / n
+    val dfOf: Map[String, Long] = tfByDoc.values.flatMap(_.keys).toSeq
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+
+    def brute(groups: Seq[Seq[String]], k: Int): Seq[(Long, Double)] = {
+      val norm = groups.map(_.flatMap(Tokenizer.tokenize).distinct.sorted)
+        .filter(_.nonEmpty).sortBy(_.head)
+        .map(_.filter(dfOf.contains)).filter(_.nonEmpty)
+      val idfs = norm.map(g => Bm25.idf(g.map(dfOf).max, n))
+      genDocs.map(_._1).flatMap { d =>
+        var sc = 0.0
+        var any = false
+        for ((g, i) <- norm.zipWithIndex) {
+          val tf = g.map(t => tfByDoc(d).getOrElse(t, 0)).sum
+          if (tf > 0) { any = true; sc += idfs(i) * Bm25.tfNorm(tf, dls(d), avgdl) }
+        }
+        if (any) Some((d, sc)) else None
+      }.sortBy { case (d, sc) => (-sc, d) }.take(k)
+    }
+
+    val groups = Seq(Seq("merge", "scan"), Seq("the"), Seq("zzznope", "sort"))
+    val got = s.searchSynonym(groups, 12).as[(Long, Double)].collect().toSeq
+    assert(got == brute(groups, 12), "synonym top-k diverged from brute force")
+    assert(got.nonEmpty)
+
+    // a singleton group is bit-identical to the plain term query
+    val one = s.searchSynonym(Seq(Seq("merge")), 10).as[(Long, Double)].collect().toSeq
+    val plain = s.search("merge", 10).as[(Long, Double)].collect().toSeq
+    assert(one == plain, "singleton synonym group != plain term search")
+
+    // fully-dead group contributes nothing; all-dead query is empty
+    val withDead = s.searchSynonym(Seq(Seq("merge", "scan"), Seq("qqq", "zzz")), 10)
+      .as[(Long, Double)].collect().toSeq
+    val noDead = s.searchSynonym(Seq(Seq("merge", "scan")), 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(withDead == noDead)
+    assert(s.searchSynonym(Seq(Seq("qqq")), 10).count() == 0L)
+
+    // overlapping groups fail loudly
+    intercept[IllegalArgumentException](
+      s.searchSynonym(Seq(Seq("merge", "scan"), Seq("scan")), 10))
+  }
+
   // ---- boolean NOT -------------------------------------------------------
 
   test("AND-NOT: bit-identical to the filtered-exact oracle; neg resolution rules") {
