@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Dedup, Fulltext, MetricQueries, MultiVector, Relational, Similarity, TextAnalysis, UsearchOps}
+import graft.ops.{Dedup, Fulltext, Hybrid, MetricQueries, MultiVector, Relational, Similarity, TextAnalysis, UsearchOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -72,6 +72,10 @@ object SparkEntry {
     "eng_significant_terms" -> Fulltext.engSignificantTerms _,
     "eng_fsck" -> Fulltext.engFsck _,
     "eng_wildcard_search" -> Fulltext.engWildcardSearch _,
+    "eng_regexp_search" -> Fulltext.engRegexpSearch _,
+    "eng_hybrid_rrf" -> Hybrid.engHybridRrf _,
+    "eng_hybrid_rrf_many" -> Hybrid.engHybridRrfMany _,
+    "eng_hybrid_rrf_ann" -> Hybrid.engHybridRrfAnn _,
     // usearch key-API analogs
     "u_contains" -> UsearchOps.contains _,
     "u_count_key" -> UsearchOps.countKey _,
@@ -216,6 +220,10 @@ object SparkEntry {
     "eng_significant_terms" -> Fulltext.significantTermsSql(),
     "eng_fsck" -> Fulltext.engFsckSql,
     "eng_wildcard_search" -> Fulltext.wildcardSearchSql(),
+    "eng_regexp_search" -> Fulltext.regexpSearchSql(),
+    "eng_hybrid_rrf" -> Hybrid.hybridRrfSql(),
+    "eng_hybrid_rrf_many" -> Hybrid.hybridRrfManySql(),
+    "eng_hybrid_rrf_ann" -> Hybrid.hybridRrfManySql(),
     "u_contains" -> UsearchOps.containsSql,
     "u_count_key" -> UsearchOps.countKeySql,
     "u_get" -> UsearchOps.getSql,

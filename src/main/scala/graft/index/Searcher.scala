@@ -796,6 +796,61 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     search(expanded.mkString(" "), k)
   }
 
+  /** The longest literal prefix every string matching `^pattern$` must
+    * start with — the pushdown anchor for [[searchRegexp]]. Conservative:
+    * a top-level alternation voids it, and a trailing `*`/`?` quantifier
+    * makes the last literal optional (dropped). Soundness only affects
+    * pruning, never results — the rlike filter re-checks every term.
+    */
+  private def regexpLiteralHead(pattern: String): String = {
+    var depth = 0
+    var topAlt = false
+    pattern.foreach {
+      case '(' => depth += 1
+      case ')' => depth -= 1
+      case '|' if depth == 0 => topAlt = true
+      case _ =>
+    }
+    if (topAlt) return ""
+    val run = pattern.takeWhile(c => c.isDigit || (c >= 'a' && c <= 'z'))
+    if (run.nonEmpty && run.length < pattern.length &&
+      "*?".contains(pattern(run.length))) run.dropRight(1)
+    else run
+  }
+
+  /** REGEXP top-k search (the Lucene RegexpQuery analog): expand an
+    * anchored regular expression against the term dictionary, then score
+    * the expansion as a disjunctive BM25 query through the ordinary
+    * [[search]] path — [[searchWildcard]] generalized to character
+    * classes, alternation, and quantifiers. The grammar is restricted to
+    * constructs Java regex and RE2-family engines evaluate identically
+    * (`[a-z0-9]`, classes, `.`, `*`, `+`, `?`, `|`, grouping) so a
+    * cross-engine oracle can independently replay the expansion. A
+    * mandatory literal head keeps `StringStartsWith` pushdown over the
+    * term-sorted dictionary; otherwise the expansion is one bounded
+    * dictionary scan (never postings, never the corpus).
+    */
+  def searchRegexp(pattern: String, k: Int, maxExpansion: Int = 1024): DataFrame = {
+    require(pattern.matches("""[a-z0-9\[\]\^\-().*+?|]+"""),
+      s"regexp must use only [a-z0-9], classes, grouping, '.', '*', '+', '?', '|'; got '$pattern'")
+    val anchored = "^(" + pattern + ")$"
+    val expanded: Seq[String] =
+      if (cacheHot) hotDict.keysIterator.filter(_.matches(anchored)).toSeq.sorted
+      else {
+        val head = regexpLiteralHead(pattern)
+        val base = if (head.nonEmpty) dictDS.where($"term".startsWith(head)) else dictDS
+        base.where($"term".rlike(anchored))
+          .select("term").as[String].collect().toSeq.sorted
+      }
+    if (expanded.size > maxExpansion)
+      throw new IllegalArgumentException(
+        s"regexp '$pattern' expands to ${expanded.size} terms (> $maxExpansion) — " +
+          "narrow the pattern or raise maxExpansion")
+    if (expanded.isEmpty)
+      return spark.emptyDataset[Hit].toDF("doc_id", "score")
+    search(expanded.mkString(" "), k)
+  }
+
   /** SNIPPET/highlight search, batched: conjunctive BM25 top-k
     * ([[searchConjunctiveMany]]) where each returned doc also carries the
     * leftmost minimal token window covering ALL query terms — the

@@ -489,6 +489,65 @@ object Fulltext {
        |) u ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Regexp probe set over the fixed corpus vocabulary: a top-level
+    * group alternation (literal-head pushdown survives), a character
+    * class (no pushdown), a '.' single-char hole, a star-quantified
+    * tail, and an expansion-empty canary.
+    */
+  final val RegexpQueries: Seq[(Int, String)] = Seq(
+    (0, "s(can|ort|park)"),
+    (1, "[bf]a(st|tch)"),
+    (2, "qu.ry"),
+    (3, "filt.*"),
+    (4, "zz+q"))
+
+  /** Dictionary-driven REGEXP search ([[graft.index.Searcher
+    * .searchRegexp]] — Lucene RegexpQuery semantics): expand each
+    * anchored pattern over the term dictionary, rank the expansion as a
+    * disjunctive BM25 query. The oracle recomputes every expansion
+    * itself via `regexp_full_match` (the grammar is restricted to the
+    * Java/RE2-agreeing subset).
+    */
+  def engRegexpSearch(spark: SparkSession, dir: String): DataFrame = {
+    val s = indexFor(spark, dir)
+    val per = RegexpQueries.map { case (qid, p) =>
+      s.searchRegexp(p, K)
+        .select(lit(qid).as("query_id"), col("doc_id"), col("score"))
+    }.reduce(_ unionAll _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+    per
+      .select(col("query_id"), row_number().over(w).as("rank"),
+        col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Oracle for [[engRegexpSearch]]: term set derived in SQL via
+    * `regexp_full_match`, scored with the order-pinned `list_aggregate`
+    * fold (the SQL-derived-term-set rule).
+    */
+  def regexpSearchSql(queries: Seq[(Int, String)] = RegexpQueries, k: Int = K): String = {
+    val selects = queries.map { case (qid, p) =>
+      s"""SELECT $qid AS query_id, CAST(rnk AS INT) AS rank, doc_id, round(score_raw, 4) AS score FROM (
+         |  WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+         |  tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |  dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |  st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         |                CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+         |  dfq AS (SELECT term, count(*) AS df FROM tf WHERE regexp_full_match(term, '$p') GROUP BY 1)
+         |  SELECT tf.doc_id,
+         |         list_aggregate(list(${graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")} ORDER BY tf.term), 'sum') AS score_raw,
+         |         row_number() OVER (
+         |           ORDER BY list_aggregate(list(${graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")} ORDER BY tf.term), 'sum') DESC, tf.doc_id) AS rnk
+         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         |  GROUP BY tf.doc_id) x
+         |WHERE rnk <= $k""".stripMargin
+    }
+    s"""SELECT query_id, rank, doc_id, score FROM (
+       |${selects.mkString("\nUNION ALL\n")}
+       |) u ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Fixed doc ids for the term-vector entry: present at every sf (ids
     * are dense from 0), spanning two buckets at the default geometry.
     */

@@ -79,6 +79,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_topkagg"), s"no partial TopKAgg in:\n$plan")
   }
 
+  test("hybrid RRF: vector source partial-aggregates map-side, query vectors broadcast") {
+    val plan = planOf(graft.ops.Hybrid.rrfMany(spark, "/root/testdata/sf0.001"))
+    // the embeddings scan is reduced to O(queries × partitions × depth)
+    // buffers BEFORE any shuffle, and the query vectors ride a broadcast —
+    // the corpus-sized side is never shuffled for the fusion
+    assert(plan.contains("partial_topkagg"), s"no partial TopKAgg in:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"query vectors not broadcast in:\n$plan")
+  }
+
   test("searchMany's global merge partial-aggregates per query (no window sort)") {
     val root = Files.createTempDirectory("graft-plan3-").toString
     val indexed = spark.range(0, 100).map(i => (i, CorpusGen.genDoc(42L, i).content))

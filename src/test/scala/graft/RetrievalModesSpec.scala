@@ -292,6 +292,29 @@ class RetrievalModesSpec extends SparkSpec {
     intercept[IllegalArgumentException](s.searchWildcard("", 10))
   }
 
+  test("regexp search equals disjunctive search over the brute expansion") {
+    val s = buildPositional(genDocs, buckets = 5)
+    val vocab = genDocs.flatMap { case (_, t) => Tokenizer.tokenize(t) }.distinct
+    // alternation (keeps pushdown head), class, dot, quantified tail,
+    // optional-last-literal head (de? → head "d"), dead canary
+    for (pat <- Seq("s(elf|tatic)", "[cv]a(se|l)", "ne.", "ret.*", "de?f", "zzz+")) {
+      val expanded = vocab.filter(_.matches("^(" + pat + ")$")).sorted
+      val got = s.searchRegexp(pat, 10).as[(Long, Double)].collect().toSeq
+      if (expanded.isEmpty) assert(got.isEmpty, s"'$pat' should be dead")
+      else {
+        val want = s.search(expanded.mkString(" "), 10)
+          .as[(Long, Double)].collect().toSeq
+        assert(want.nonEmpty, s"vacuous regexp fixture '$pat'")
+        assert(got == want, s"regexp '$pat' diverged")
+      }
+    }
+    // over-expansion and out-of-grammar patterns fail loudly
+    val e = intercept[IllegalArgumentException](s.searchRegexp(".*", 10, maxExpansion = 1))
+    assert(e.getMessage.contains("expands to"))
+    intercept[IllegalArgumentException](s.searchRegexp("a{2}", 10))
+    intercept[IllegalArgumentException](s.searchRegexp("A*", 10))
+  }
+
   // ---- search-after pagination -------------------------------------------
 
   test("searchAfter: page p+1 bit-identical to deep-search slice; hot path agrees") {
