@@ -73,6 +73,7 @@ object SparkEntry {
     "eng_fsck" -> Fulltext.engFsck _,
     "eng_wildcard_search" -> Fulltext.engWildcardSearch _,
     "eng_regexp_search" -> Fulltext.engRegexpSearch _,
+    "eng_boosted_query" -> Fulltext.engBoostedQuery _,
     "eng_hybrid_rrf" -> Hybrid.engHybridRrf _,
     "eng_hybrid_rrf_many" -> Hybrid.engHybridRrfMany _,
     "eng_hybrid_rrf_ann" -> Hybrid.engHybridRrfAnn _,
@@ -221,6 +222,7 @@ object SparkEntry {
     "eng_fsck" -> Fulltext.engFsckSql,
     "eng_wildcard_search" -> Fulltext.wildcardSearchSql(),
     "eng_regexp_search" -> Fulltext.regexpSearchSql(),
+    "eng_boosted_query" -> Fulltext.boostedQuerySql(),
     "eng_hybrid_rrf" -> Hybrid.hybridRrfSql(),
     "eng_hybrid_rrf_many" -> Hybrid.hybridRrfManySql(),
     "eng_hybrid_rrf_ann" -> Hybrid.hybridRrfManySql(),

@@ -1093,19 +1093,59 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     val flat = norm.flatten
     require(flat.distinct.size == flat.size,
       s"synonym groups must be disjoint, got $groups")
-    if (norm.isEmpty) return spark.emptyDataset[Hit].toDF("doc_id", "score")
-    val local = dictRows(flat.distinct.sorted)
     // fold order = ascending canonical (pre-liveness) head, a pure
     // function of the QUERY — a dict-absent first member must not
     // reshuffle the accumulation order an oracle derives statically.
-    // Members absent from the dictionary then drop out of their group
-    // (the disjunctive dead-term rule, per member); a fully-dead group
-    // contributes exactly nothing, so dropping it is exact.
-    val live = norm
-      .sortBy(_.head)
-      .map(_.filter(t => local.get(t).exists(_.df > 0L)))
-      .filter(_.nonEmpty)
-    if (live.isEmpty) return spark.emptyDataset[Hit].toDF("doc_id", "score")
+    // weight 1.0: `1.0 * x == x` is IEEE-exact, so the weighted core is
+    // bit-identical to the historical unweighted synonym fold.
+    searchGroupsWeighted(norm.sortBy(_.head).map((_, 1.0)), k)
+  }
+
+  /** BOOSTED term query (the Lucene `term^boost` analog): each term's
+    * BM25 contribution is scaled by its weight, folded in ascending term
+    * order — score = Σ_t w_t · (idf_t · tfNorm_t), the multiplication
+    * associated exactly as written so a SQL oracle can mirror it
+    * (`(w) * ((idf)*(tfNorm))`). Dictionary-absent terms drop out
+    * (boost and all); duplicate terms are an error, not a silent merge.
+    */
+  def searchBoosted(weights: Seq[(String, Double)], k: Int): DataFrame = {
+    val norm: Seq[(String, Double)] = weights.map { case (t, w) =>
+      val toks = Tokenizer.tokenize(t)
+      require(toks.length == 1,
+        s"boosted entry must normalize to exactly one token, got '$t'")
+      require(!w.isNaN && w > 0.0, s"boost for '$t' must be a positive double, got $w")
+      (toks.head, w)
+    }
+    require(norm.map(_._1).distinct.size == norm.size,
+      s"boosted terms must be distinct, got $weights")
+    searchGroupsWeighted(
+      norm.sortBy(_._1).map { case (t, w) => (Seq(t), w) }, k)
+  }
+
+  /** Shared weighted-group scoring core ([[searchSynonym]] with all
+    * weights 1.0, [[searchBoosted]] with singleton groups): per-doc
+    * tf' = Σ member tfs (integer adds, order-free), group df' = MAX
+    * member df, score = left fold over groups in the CALLER's order of
+    * w · (idf(df') · tfNorm(tf', dl)). Members absent from the
+    * dictionary drop out of their group (the disjunctive dead-term
+    * rule, per member); a fully-dead group contributes exactly nothing,
+    * so dropping it is exact.
+    *
+    * Scale shape: identical to [[search]] — one pruned dictionary read
+    * plans everything, one term-IN + bucket-IN segments scan, per-bucket
+    * TAAT merge of member postings (bounded by bucket width), bounded
+    * top-k per bucket, one global k-merge.
+    */
+  private def searchGroupsWeighted(
+      norm: Seq[(Seq[String], Double)], k: Int): DataFrame = {
+    if (norm.isEmpty) return spark.emptyDataset[Hit].toDF("doc_id", "score")
+    val local = dictRows(norm.flatMap(_._1).distinct.sorted)
+    val liveW = norm
+      .map { case (g, w) => (g.filter(t => local.get(t).exists(_.df > 0L)), w) }
+      .filter(_._1.nonEmpty)
+    if (liveW.isEmpty) return spark.emptyDataset[Hit].toDF("doc_id", "score")
+    val live = liveW.map(_._1)
+    val ws: Array[Double] = liveW.map(_._2).toArray
     val idfs: Array[Double] =
       live.map(g => Bm25.idf(g.map(t => local(t).df).max, stats.nDocs)).toArray
     val groupOf: Map[String, Int] =
@@ -1119,6 +1159,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     val doclens = doclensDS.where($"bucket".isin(buckets: _*))
     val groupOfB = spark.sparkContext.broadcast(groupOf)
     val idfsB = spark.sparkContext.broadcast(idfs)
+    val wsB = spark.sparkContext.broadcast(ws)
     val kLocal = k
     val avgdlLocal = stats.avgdl
 
@@ -1156,10 +1197,12 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
             val len = dLens(java.util.Arrays.binarySearch(dIds, d))
             var s = 0.0
             var gi = 0
-            // fixed ascending group order — deterministic accumulation
+            // fixed caller group order — deterministic accumulation;
+            // association w · (idf · tfNorm) exactly as the oracle writes it
             while (gi < nG) {
               val tf = tfByGroup(gi).getOrDefault(d, 0)
-              if (tf > 0) s += idfsB.value(gi) * Bm25.tfNorm(tf, len, avgdlLocal)
+              if (tf > 0)
+                s += wsB.value(gi) * (idfsB.value(gi) * Bm25.tfNorm(tf, len, avgdlLocal))
               gi += 1
             }
             topk.offer(d, s)

@@ -489,6 +489,49 @@ object Fulltext {
        |) u ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Boosted probe set: an up-weighted common term, a down-weighted one,
+    * a unit weight, and a dictionary-absent term with a large boost that
+    * must contribute nothing. Weights are exactly-representable doubles
+    * so both engines parse the identical value.
+    */
+  final val BoostedTerms: Seq[(String, Double)] = Seq(
+    ("spark", 2.0), ("merge", 0.5), ("dup", 1.0), ("zzznope", 3.0))
+
+  /** BOOSTED term query entry ([[graft.index.Searcher.searchBoosted]] —
+    * the Lucene `term^boost` analog): per-term BM25 contributions scaled
+    * by their weights, folded in ascending term order with the
+    * association `w · (idf · tfNorm)` the oracle mirrors verbatim.
+    */
+  def engBoostedQuery(spark: SparkSession, dir: String): DataFrame =
+    indexFor(spark, dir).searchBoosted(BoostedTerms, K)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+
+  def boostedQuerySql(weights: Seq[(String, Double)] = BoostedTerms, k: Int = K): String = {
+    val sorted = weights
+      .map { case (t, w) => (Tokenizer.tokenize(t).head, w) }
+      .sortBy(_._1)
+    val termList = sorted.map { case (t, _) => s"'$t'" }.mkString(", ")
+    val part = graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")
+    val fold = sorted.map { case (t, w) =>
+      s"COALESCE(MAX(CASE WHEN tf.term = '$t' THEN (CAST('$w' AS DOUBLE)) * ($part) END), 0.0)"
+    }.mkString("(", " + ", ")")
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+       |              CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+       |dfq AS (SELECT term, count(*) AS df FROM tf WHERE term IN ($termList) GROUP BY 1),
+       |scores AS (
+       |  SELECT tf.doc_id, $fold AS score_raw
+       |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       |  WHERE tf.term IN ($termList)
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, round(score_raw, 4) AS score
+       |FROM scores
+       |ORDER BY score_raw DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
+
   /** Regexp probe set over the fixed corpus vocabulary: a top-level
     * group alternation (literal-head pushdown survives), a character
     * class (no pushdown), a '.' single-char hole, a star-quantified

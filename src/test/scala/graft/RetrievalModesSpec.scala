@@ -357,6 +357,51 @@ class RetrievalModesSpec extends SparkSpec {
 
   // ---- synonym groups ------------------------------------------------------
 
+  test("searchBoosted: bit-identical to the weighted brute force; unit boosts == plain search") {
+    val s = buildPositional(genDocs, buckets = 5)
+    val n = genDocs.size.toLong
+    val tfByDoc: Map[Long, Map[String, Int]] = genDocs.map { case (d, t) =>
+      d -> Tokenizer.tokenize(t).groupBy(identity).map { case (w, xs) => w -> xs.length }
+    }.toMap
+    val dls = genDocs.map { case (d, t) => d -> Tokenizer.tokenize(t).length.toLong }.toMap
+    val avgdl = dls.values.sum.toDouble / n
+    val dfOf: Map[String, Long] = tfByDoc.values.flatMap(_.keys).toSeq
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+
+    def brute(weights: Seq[(String, Double)], k: Int): Seq[(Long, Double)] = {
+      val live = weights.map { case (t, w) => (Tokenizer.tokenize(t).head, w) }
+        .sortBy(_._1).filter { case (t, _) => dfOf.contains(t) }
+      genDocs.map(_._1).flatMap { d =>
+        var sc = 0.0
+        var any = false
+        for ((t, w) <- live) {
+          val tf = tfByDoc(d).getOrElse(t, 0)
+          if (tf > 0) {
+            any = true
+            sc += w * (Bm25.idf(dfOf(t), n) * Bm25.tfNorm(tf, dls(d), avgdl))
+          }
+        }
+        if (any) Some((d, sc)) else None
+      }.sortBy { case (d, sc) => (-sc, d) }.take(k)
+    }
+
+    val boosts = Seq(("merge", 2.0), ("scan", 0.5), ("the", 1.0), ("zzznope", 3.0))
+    val got = s.searchBoosted(boosts, 12).as[(Long, Double)].collect().toSeq
+    assert(got == brute(boosts, 12), "boosted top-k diverged from brute force")
+    assert(got.nonEmpty)
+
+    // all-unit boosts are bit-identical to the plain disjunctive search
+    // (1.0 · x is IEEE-exact — pins the shared weighted core refactor)
+    val unit = s.searchBoosted(Seq(("merge", 1.0), ("scan", 1.0)), 10)
+      .as[(Long, Double)].collect().toSeq
+    val plain = s.search("merge scan", 10).as[(Long, Double)].collect().toSeq
+    assert(unit == plain, "unit-boost query != plain search")
+
+    // duplicate terms and non-positive boosts fail loudly
+    intercept[IllegalArgumentException](s.searchBoosted(Seq(("merge", 1.0), ("merge", 2.0)), 5))
+    intercept[IllegalArgumentException](s.searchBoosted(Seq(("merge", 0.0)), 5))
+  }
+
   test("searchSynonym: bit-identical to the SynonymQuery brute force; edge rules") {
     val s = buildPositional(genDocs, buckets = 5)
     val n = genDocs.size.toLong
