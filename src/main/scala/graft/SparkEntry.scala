@@ -74,6 +74,7 @@ object SparkEntry {
     "eng_wildcard_search" -> Fulltext.engWildcardSearch _,
     "eng_regexp_search" -> Fulltext.engRegexpSearch _,
     "eng_boosted_query" -> Fulltext.engBoostedQuery _,
+    "eng_bm25_min_match" -> Fulltext.engBm25MinMatch _,
     "eng_hybrid_rrf" -> Hybrid.engHybridRrf _,
     "eng_hybrid_rrf_many" -> Hybrid.engHybridRrfMany _,
     "eng_hybrid_rrf_ann" -> Hybrid.engHybridRrfAnn _,
@@ -223,6 +224,7 @@ object SparkEntry {
     "eng_wildcard_search" -> Fulltext.wildcardSearchSql(),
     "eng_regexp_search" -> Fulltext.regexpSearchSql(),
     "eng_boosted_query" -> Fulltext.boostedQuerySql(),
+    "eng_bm25_min_match" -> Fulltext.bm25MinMatchManySql(),
     "eng_hybrid_rrf" -> Hybrid.hybridRrfSql(),
     "eng_hybrid_rrf_many" -> Hybrid.hybridRrfManySql(),
     "eng_hybrid_rrf_ann" -> Hybrid.hybridRrfManySql(),

@@ -738,6 +738,98 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
       .toDF("query_id", "doc_id", "score")
   }
 
+  /** Batched MINIMUM-SHOULD-MATCH top-k (the Lucene/Elasticsearch
+    * `minimum_should_match` knob): rank documents containing at least
+    * `m` of the query's terms — the retrieval mode BETWEEN disjunctive
+    * ([[searchMany]], m=1) and conjunctive ([[searchConjunctiveMany]],
+    * m=n), and bit-identical to each at its endpoint (the survivor set
+    * coincides and the score is the same sorted-term left fold over
+    * PRESENT terms — RetrievalModesSpec pins both).
+    *
+    * Semantics for dictionary-absent terms follow the boolean optional-
+    * clause rule: an absent term can never match, so it only lowers the
+    * achievable count — a query with fewer than `m` live terms is dead
+    * at planning. Candidate buckets per query are those where at least
+    * `m` of its terms have postings (a doc elsewhere cannot reach `m`).
+    *
+    * Returns (query_id, doc_id, score, rank) ordered (query_id, rank).
+    */
+  def searchMinMatchMany(
+      queries: Seq[(Int, String, Int)],
+      k: Int,
+      globalStats: Option[GlobalStats] = None): DataFrame =
+    Searcher.finishMany(minMatchManyBuckets(queries, k, globalStats), k)
+
+  /** Per-bucket partials of [[searchMinMatchMany]] (same exposure
+    * contract as [[searchManyBuckets]]; a doc lives entirely in one
+    * generation, so per-shard counts are complete).
+    */
+  private[index] def minMatchManyBuckets(
+      queries: Seq[(Int, String, Int)],
+      k: Int,
+      globalStats: Option[GlobalStats] = None): DataFrame = {
+    queries.foreach { case (id, _, m) =>
+      require(m >= 1, s"minimum_should_match must be >= 1, got $m (query $id)")
+    }
+    val emptyPartial = spark.emptyDataset[(Int, Long, Double)]
+      .toDF("query_id", "doc_id", "score")
+    val qTerms: Seq[(Int, Array[String], Int)] =
+      queries.map { case (id, q, m) => (id, Tokenizer.tokenize(q).distinct.sorted, m) }
+        .filter(_._2.nonEmpty)
+    if (qTerms.isEmpty) return emptyPartial
+    val localRows = dictRows(qTerms.flatMap(_._2).distinct.sorted)
+    val g = globalStats.getOrElse(
+      GlobalStats(stats.nDocs, stats.avgdl, localRows.map { case (t, d) => t -> d.df }))
+    // optional-clause rule: absent terms drop; a query with < m live
+    // terms cannot match anything — dead at planning
+    val live = qTerms
+      .map { case (id, ts, m) =>
+        (id, ts.filter(t =>
+          localRows.get(t).exists(_.df > 0L) && g.dfByTerm.getOrElse(t, 0L) > 0L), m)
+      }
+      .filter { case (_, ts, m) => ts.length >= m }
+    if (live.isEmpty) return emptyPartial
+    val liveTerms = live.flatMap(_._2).distinct.sorted
+    val idfByTerm = liveTerms.map(t => t -> Bm25.idf(g.dfByTerm(t), g.nDocs)).toMap
+    // a bucket is a candidate for a query iff >= m of its terms post there
+    val queryBuckets: Map[Int, Set[Int]] = live.map { case (id, ts, m) =>
+      val counts = scala.collection.mutable.HashMap.empty[Int, Int]
+      ts.foreach(t => localRows(t).buckets.foreach(b =>
+        counts.update(b, counts.getOrElse(b, 0) + 1)))
+      id -> counts.iterator.collect { case (b, c) if c >= m => b }.toSet
+    }.toMap
+    val buckets = queryBuckets.values.flatten.toSeq.distinct
+    if (buckets.isEmpty) return emptyPartial
+
+    val postings = spark.read.parquet(layout.segments).as[PostingRow]
+      .where($"term".isin(liveTerms: _*) && $"bucket".isin(buckets: _*))
+    val doclens = doclensDS.where($"bucket".isin(buckets: _*))
+
+    val idfB = spark.sparkContext.broadcast(idfByTerm)
+    val qsB = spark.sparkContext.broadcast(live.toArray)
+    val qbB = spark.sparkContext.broadcast(queryBuckets)
+    val kLocal = k
+    val avgdlLocal = g.avgdl
+
+    postings
+      .groupByKey(_.bucket)
+      .cogroup(doclens.groupByKey(_.bucket)) { (bucket, posts, lens) =>
+        val postsArr = posts.toArray
+        val lensArr = lens.toArray
+        if (postsArr.isEmpty) Iterator.empty
+        else if (lensArr.isEmpty)
+          throw new IllegalStateException(
+            s"index invariant violated: bucket $bucket has postings but no doclens row ($root)")
+        else {
+          val active = qsB.value.filter { case (id, _, _) => qbB.value(id).contains(bucket) }
+          val cache = new java.util.HashMap[String, graft.codec.Postings]()
+          Searcher.minMatchBucket(postsArr, lensArr.head, idfB.value,
+            avgdlLocal, kLocal, active, cache)
+        }
+      }
+      .toDF("query_id", "doc_id", "score")
+  }
+
   /** PREFIX-expanded top-k search (the dictionary-driven `term*` wildcard
     * query): expand the prefix against the term dictionary — ONE pruned
     * Parquet read, `StringStartsWith` pushed to the scan over the sorted
@@ -2019,6 +2111,66 @@ object Searcher {
             topk.offer(d, score)
           }
           i += 1
+        }
+        topk.result.map(h => (qid, h.docId, h.score))
+      }
+    }
+  }
+
+  /** Per-bucket minimum-should-match kernel: for each query, visit its
+    * PRESENT terms in ascending term order (the query arrays arrive
+    * sorted), accumulating per-doc matched-term counts (integer, order-
+    * free) and the BM25 score left fold (term-visit order = sorted term
+    * order — the same deterministic accumulation as every other path),
+    * then keep docs whose count reaches the query's threshold. Memory is
+    * O(docs matching any query term in this bucket), bounded by the
+    * bucket width like the synonym path.
+    */
+  private[index] def minMatchBucket(
+      rows: Array[PostingRow],
+      doclen: DocLenRow,
+      idfByTerm: Map[String, Double],
+      avgdl: Double,
+      k: Int,
+      queries: Array[(Int, Array[String], Int)],
+      decodedCache: java.util.HashMap[String, graft.codec.Postings]): Iterator[(Int, Long, Double)] = {
+    val byTerm = rows.iterator.map(r => r.term -> r).toMap
+    if (byTerm.size != rows.length)
+      throw new IllegalStateException(
+        "index invariant violated: bucket holds more than one segment row " +
+          s"per term (${rows.length} rows, ${byTerm.size} terms)")
+    val dIds = doclen.docIds
+    val dLens = doclen.lens
+    def decoded(t: String): graft.codec.Postings =
+      decodedCache.computeIfAbsent(t,
+        _ => PostingCodec.decodeBlocks(byTerm(t).blocks.map(_.bytes).toSeq))
+    queries.iterator.flatMap { case (qid, ts, m) =>
+      val present = ts.filter(byTerm.contains) // ts sorted → present sorted
+      if (present.length < m) Iterator.empty
+      else {
+        val counts = new java.util.HashMap[Long, Int]()
+        val scores = new java.util.HashMap[Long, Double]()
+        present.foreach { t =>
+          val p = decoded(t)
+          val idf = idfByTerm(t)
+          var i = 0
+          while (i < p.size) {
+            val d = p.docIds(i)
+            val dli = java.util.Arrays.binarySearch(dIds, d)
+            if (dli < 0)
+              throw new IllegalStateException(
+                s"index invariant violated: doc $d has postings but no doclens entry")
+            counts.merge(d, 1, (a, b) => a + b)
+            scores.merge(d, idf * Bm25.tfNorm(p.tfs(i), dLens(dli), avgdl),
+              (a, b) => a + b)
+            i += 1
+          }
+        }
+        val topk = new TopK(k)
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue >= m) topk.offer(e.getKey, scores.get(e.getKey))
         }
         topk.result.map(h => (qid, h.docId, h.score))
       }

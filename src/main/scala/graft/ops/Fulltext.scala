@@ -489,6 +489,61 @@ object Fulltext {
        |) u ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Minimum-should-match probe batch: 2-of-3 common terms; 3-of-4; a
+    * dead term that lowers the achievable count (2-of-{2 live}, i.e.
+    * effectively conjunctive over the survivors); and a query whose live
+    * terms cannot reach the threshold (dead at planning, empty on both
+    * engines).
+    */
+  final val MsmQueries: Seq[(Int, String, Int)] = Seq(
+    (0, "spark merge dup", 2),
+    (1, "customer window batch scan", 3),
+    (2, "spark zzznope merge", 2),
+    (3, "zzznope vector", 2))
+
+  /** Batched MINIMUM-SHOULD-MATCH BM25 top-k ([[graft.index.Searcher
+    * .searchMinMatchMany]] — the Lucene/Elasticsearch
+    * `minimum_should_match` knob): rank docs containing at least m of
+    * the query's terms, scored with the identical sorted-term BM25 fold
+    * over present terms as the disjunctive entries.
+    */
+  def engBm25MinMatch(spark: SparkSession, dir: String): DataFrame = {
+    val s = indexFor(spark, dir)
+    s.searchMinMatchMany(MsmQueries, K)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** Oracle for [[engBm25MinMatch]]: the COALESCE-fold over the query's
+    * sorted terms (subset profiles add exact 0.0 for missing terms) with
+    * a `HAVING count(DISTINCT term) >= m` threshold gate.
+    */
+  def bm25MinMatchManySql(queries: Seq[(Int, String, Int)] = MsmQueries, k: Int = K): String = {
+    val selects = queries.map { case (qid, q, m) =>
+      val terms = Tokenizer.tokenize(q).distinct.sorted.toSeq
+      val termList = terms.map(t => s"'$t'").mkString(", ")
+      val fold = foldScoreSqlAny(terms)
+      s"""SELECT $qid AS query_id, CAST(rnk AS INT) AS rank, doc_id, round(score_raw, 4) AS score FROM (
+         |  WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+         |  tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |  dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |  st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+         |                CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+         |  dfq AS (SELECT term, count(*) AS df FROM tf WHERE term IN ($termList) GROUP BY 1)
+         |  SELECT tf.doc_id, $fold AS score_raw,
+         |         row_number() OVER (
+         |           ORDER BY $fold DESC, tf.doc_id) AS rnk
+         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         |  WHERE tf.term IN ($termList)
+         |  GROUP BY tf.doc_id
+         |  HAVING count(DISTINCT tf.term) >= $m) x
+         |WHERE rnk <= $k""".stripMargin
+    }
+    s"""SELECT query_id, rank, doc_id, score FROM (
+       |${selects.mkString("\nUNION ALL\n")}
+       |) u ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Boosted probe set: an up-weighted common term, a down-weighted one,
     * a unit weight, and a dictionary-absent term with a large boost that
     * must contribute nothing. Weights are exactly-representable doubles

@@ -357,6 +357,54 @@ class RetrievalModesSpec extends SparkSpec {
 
   // ---- synonym groups ------------------------------------------------------
 
+  test("minimum-should-match: m=1 == disjunctive, m=n == conjunctive, mid-m == brute force") {
+    val s = buildPositional(genDocs, buckets = 5)
+    val q = "def return import"
+    val terms = Tokenizer.tokenize(q).distinct.sorted
+    def msm(m: Int): Seq[(Long, Double)] =
+      s.searchMinMatchMany(Seq((0, q, m)), 10)
+        .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+
+    // endpoints: the survivor sets coincide and the fold is identical
+    assert(msm(1) == s.search(q, 10).as[(Long, Double)].collect().toSeq,
+      "m=1 != disjunctive search")
+    assert(msm(terms.size) ==
+      s.searchConjunctiveMany(Seq((0, q)), 10)
+        .select("doc_id", "score").as[(Long, Double)].collect().toSeq,
+      "m=n != conjunctive search")
+
+    // mid threshold against brute force
+    val n = genDocs.size.toLong
+    val tfByDoc = genDocs.map { case (d, t) =>
+      d -> Tokenizer.tokenize(t).groupBy(identity).map { case (w, xs) => w -> xs.length }
+    }.toMap
+    val dls = genDocs.map { case (d, t) => d -> Tokenizer.tokenize(t).length.toLong }.toMap
+    val avgdl = dls.values.sum.toDouble / n
+    val dfOf = tfByDoc.values.flatMap(_.keys).toSeq
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val brute2 = genDocs.map(_._1).flatMap { d =>
+      val present = terms.filter(t => tfByDoc(d).getOrElse(t, 0) > 0)
+      if (present.size < 2) None
+      else {
+        var sc = 0.0
+        for (t <- present)
+          sc += Bm25.idf(dfOf(t), n) * Bm25.tfNorm(tfByDoc(d)(t), dls(d), avgdl)
+        Some((d, sc))
+      }
+    }.sortBy { case (d, sc) => (-sc, d) }.take(10)
+    assert(msm(2) == brute2, "m=2 diverged from brute force")
+    assert(msm(2).nonEmpty)
+
+    // a dead term lowers the achievable count; under-threshold is empty
+    val withDead = s.searchMinMatchMany(Seq((0, "def zzznope return", 2)), 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    val conjTwo = s.searchConjunctiveMany(Seq((0, "def return")), 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    assert(withDead == conjTwo, "dead term did not lower the pool to the survivors")
+    assert(s.searchMinMatchMany(Seq((0, "zzznope def", 2)), 10).count() == 0L)
+    intercept[IllegalArgumentException](s.searchMinMatchMany(Seq((0, q, 0)), 10))
+  }
+
   test("searchBoosted: bit-identical to the weighted brute force; unit boosts == plain search") {
     val s = buildPositional(genDocs, buckets = 5)
     val n = genDocs.size.toLong
