@@ -75,6 +75,15 @@ object SparkEntry {
     "eng_regexp_search" -> Fulltext.engRegexpSearch _,
     "eng_boosted_query" -> Fulltext.engBoostedQuery _,
     "eng_bm25_min_match" -> Fulltext.engBm25MinMatch _,
+    "eng_span_ordered" -> Fulltext.engSpanOrdered _,
+    "eng_span_ordered_multigen" -> Fulltext.engSpanOrderedMultiGen _,
+    "eng_count_query" -> Fulltext.engCountQuery _,
+    "eng_sort_by_len" -> Fulltext.engSortByLen _,
+    "eng_dismax" -> Fulltext.engDisMax _,
+    "eng_terms_enum" -> Fulltext.engTermsEnum _,
+    "eng_len_percentiles" -> Fulltext.engLenPercentiles _,
+    "eng_rescore" -> Fulltext.engRescore _,
+    "ft_hll_card" -> Fulltext.ftHllCard _,
     "eng_hybrid_rrf" -> Hybrid.engHybridRrf _,
     "eng_hybrid_rrf_many" -> Hybrid.engHybridRrfMany _,
     "eng_hybrid_rrf_ann" -> Hybrid.engHybridRrfAnn _,
@@ -225,6 +234,15 @@ object SparkEntry {
     "eng_regexp_search" -> Fulltext.regexpSearchSql(),
     "eng_boosted_query" -> Fulltext.boostedQuerySql(),
     "eng_bm25_min_match" -> Fulltext.bm25MinMatchManySql(),
+    "eng_span_ordered" -> Fulltext.spanOrderedSql(),
+    "eng_span_ordered_multigen" -> Fulltext.spanOrderedSql(),
+    "eng_count_query" -> Fulltext.countQuerySql(),
+    "eng_sort_by_len" -> Fulltext.sortByLenSql(),
+    "eng_dismax" -> Fulltext.disMaxSql(),
+    "eng_terms_enum" -> Fulltext.termsEnumSql(),
+    "eng_len_percentiles" -> Fulltext.lenPercentilesSql(),
+    "eng_rescore" -> Fulltext.rescoreSql(),
+    "ft_hll_card" -> Fulltext.ftHllCardSql(),
     "eng_hybrid_rrf" -> Hybrid.hybridRrfSql(),
     "eng_hybrid_rrf_many" -> Hybrid.hybridRrfManySql(),
     "eng_hybrid_rrf_ann" -> Hybrid.hybridRrfManySql(),

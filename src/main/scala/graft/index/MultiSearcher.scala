@@ -104,4 +104,13 @@ final class MultiSearcher(spark: SparkSession, roots: Seq[String]) {
   def proximityMany(queries: Seq[(Int, String, Int)]): DataFrame =
     searchers.map(_.proximityMany(queries)).reduce(_ union _)
       .orderBy(col("query_id"), col("doc_id"))
+
+  /** Index-only ordered-span search across generations — containment
+    * queries need no cross-shard statistics, and generations hold
+    * disjoint doc spaces, so the union of per-shard sweeps IS the
+    * single-index answer (same argument as [[phraseMany]]).
+    */
+  def spanOrderedMany(queries: Seq[(Int, String, Int)]): DataFrame =
+    searchers.map(_.spanOrderedMany(queries)).reduce(_ union _)
+      .orderBy(col("query_id"), col("doc_id"))
 }

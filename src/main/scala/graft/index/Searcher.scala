@@ -523,6 +523,281 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
       .orderBy(col("query_id"), col("doc_id"))
   }
 
+  /** Index-only ORDERED-SPAN search, batched (the Lucene `span_near
+    * (in_order=true)` analog next to [[proximityMany]]'s unordered NEAR;
+    * reference's exact-text retrieval direction,
+    * /root/reference/README.md:3-4): for each (query_id, phrase, window),
+    * every document where the phrase's tokens appear IN ORDER at strictly
+    * increasing positions within a window of ≤ `window` tokens, with the
+    * minimal such span and its leftmost start — answered from the
+    * positions sidecar alone.
+    *
+    * Semantics: over all position tuples p₀ < p₁ < … < p_{m−1} (one per
+    * query token, IN QUERY ORDER — duplicates allowed, the strict
+    * inequality keeps their positions distinct), min_span =
+    * min(p_{m−1} − p₀ + 1), span_start = the smallest p₀ among tuples
+    * achieving min_span. INTEGERS only — nothing floats across the
+    * engine boundary. A phrase match is exactly the min_span = m case.
+    *
+    * Plan shape identical to [[proximityMany]]: one pruned dictionary
+    * read plans everything, dictionary-absent terms kill their query at
+    * planning, candidate buckets are the intersection of the terms'
+    * bucket lists, one pruned positions read, per-bucket greedy sweeps
+    * (O(positions · log) per doc, see
+    * [[Searcher.orderedSpanHitsInBucket]]).
+    *
+    * Returns DataFrame(query_id: Int, doc_id: Long, min_span: Long,
+    * span_start: Long) ordered (query_id, doc_id), rows only where
+    * min_span ≤ window.
+    */
+  def spanOrderedMany(queries: Seq[(Int, String, Int)]): DataFrame = {
+    require(hasPositions,
+      s"index at $root has no positions sidecar — run IndexBuilder.buildPositions first")
+    val empty = spark.emptyDataset[(Int, Long, Long, Long)]
+      .toDF("query_id", "doc_id", "min_span", "span_start")
+    // tokens IN ORDER — the ordered constraint is the whole point
+    val qs: Seq[(Int, Array[String], Int)] = queries
+      .map { case (id, q, w) => (id, Tokenizer.tokenize(q), w) }
+      .filter(_._2.nonEmpty)
+    if (qs.isEmpty) return empty
+    val local = dictRows(qs.flatMap(_._2).distinct.sorted)
+    val live = qs.filter { case (_, ts, _) => ts.forall(t => local.get(t).exists(_.df > 0L)) }
+    if (live.isEmpty) return empty
+    val queryBuckets: Map[Int, Set[Int]] = live.map { case (id, ts, _) =>
+      id -> ts.iterator.map(t => local(t).buckets.toSet).reduce(_ intersect _)
+    }.toMap
+    val buckets = queryBuckets.values.flatten.toSeq.distinct
+    if (buckets.isEmpty) return empty
+    val liveTerms = live.flatMap(_._2).distinct
+    val qsB = spark.sparkContext.broadcast(live)
+    val qbB = spark.sparkContext.broadcast(queryBuckets)
+    spark.read.parquet(layout.positions).as[PosRow]
+      .where($"term".isin(liveTerms: _*) && $"bucket".isin(buckets: _*))
+      .groupByKey(_.bucket)
+      .flatMapGroups { (bucket, it) =>
+        val rows = it.toArray
+        val byTerm = rows.iterator.map(r =>
+          r.term -> graft.codec.PositionCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq)).toMap
+        if (byTerm.size != rows.length)
+          throw new IllegalStateException(
+            s"positions invariant violated in bucket $bucket: ${rows.length} rows, " +
+              s"${byTerm.size} terms")
+        qsB.value.iterator
+          .filter { case (id, _, _) => qbB.value(id).contains(bucket) }
+          .flatMap { case (id, ts, w) =>
+            Searcher.orderedSpanHitsInBucket(ts, w, byTerm)
+              .map { case (d, span, start) => (id, d, span, start) }
+          }
+      }
+      .toDF("query_id", "doc_id", "min_span", "span_start")
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
+  /** Index-only HIT COUNTING, batched (the search-engine `count` API /
+    * total-hits shape — the reference's size-introspection analog,
+    * `/root/reference/include/usearch/index.hpp:1760-1780` `size()`):
+    * for each disjunctive query, the number of documents matching ≥ 1
+    * query term and the total occurrences of the query's terms — from
+    * postings alone, the corpus text is never read. INTEGERS only.
+    *
+    * Scale shape: buckets partition the docId space, so per-bucket
+    * distinct-doc counts add up WITHOUT a global distinct — one pruned
+    * segments read (term IN + union-of-bucket-lists pushdown), per-bucket
+    * union counts (each term's block decoded once per bucket, shared
+    * across queries), one partial-aggregated sum per query. Nothing
+    * scales with corpus size beyond the matched postings; driver holds
+    * |queries| rows. Dictionary-dead queries report (0, 0) without
+    * touching the cluster.
+    *
+    * Returns DataFrame(query_id: Int, n_docs: Long, total_tf: Long)
+    * ordered by query_id, one row per input query.
+    */
+  def countMany(queries: Seq[(Int, String)]): DataFrame = {
+    val qs: Seq[(Int, Array[String])] = queries.map { case (id, q) =>
+      (id, Tokenizer.tokenize(q).distinct.sorted)
+    }
+    val zeros = spark.createDataset(qs.map { case (id, _) => (id, 0L, 0L) })
+      .toDF("query_id", "n_docs", "total_tf")
+    val local = dictRows(qs.flatMap(_._2).distinct.sorted)
+    val live: Seq[(Int, Array[String])] = qs
+      .map { case (id, ts) => (id, ts.filter(t => local.get(t).exists(_.df > 0L))) }
+      .filter(_._2.nonEmpty)
+    if (live.isEmpty) return zeros.orderBy(col("query_id"))
+    val queryBuckets: Map[Int, Set[Int]] = live.map { case (id, ts) =>
+      id -> ts.iterator.flatMap(t => local(t).buckets).toSet
+    }.toMap
+    val buckets = queryBuckets.values.flatten.toSeq.distinct
+    val liveTerms = live.flatMap(_._2).distinct
+    val qsB = spark.sparkContext.broadcast(live)
+    val qbB = spark.sparkContext.broadcast(queryBuckets)
+    val partials = spark.read.parquet(layout.segments).as[PostingRow]
+      .where($"term".isin(liveTerms: _*) && $"bucket".isin(buckets: _*))
+      .groupByKey(_.bucket)
+      .flatMapGroups { (bucket, it) =>
+        val rows = it.toArray
+        val decoded = new java.util.HashMap[String, graft.codec.Postings]()
+        rows.foreach(r => decoded.put(r.term,
+          PostingCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq)))
+        if (decoded.size != rows.length)
+          throw new IllegalStateException(
+            s"index invariant violated: bucket $bucket holds more than one " +
+              s"segment row per term (${rows.length} rows, ${decoded.size} terms)")
+        qsB.value.iterator
+          .filter { case (id, _) => qbB.value(id).contains(bucket) }
+          .map { case (id, ts) =>
+            val seen = new java.util.HashSet[Long]()
+            var tfSum = 0L
+            ts.foreach { t =>
+              val p = decoded.get(t)
+              if (p != null) {
+                var i = 0
+                while (i < p.size) {
+                  seen.add(p.docIds(i))
+                  tfSum += p.tfs(i)
+                  i += 1
+                }
+              }
+            }
+            (id, seen.size.toLong, tfSum)
+          }
+      }
+      .toDF("query_id", "n_docs", "total_tf")
+      .groupBy(col("query_id"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_tf")).as("total_tf"))
+    // dead / bucket-empty queries still owe a (0, 0) row
+    zeros.select(col("query_id"))
+      .join(partials, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_docs", "total_tf"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Index-only SORT-BY-FIELD search (the search-engine `sort` clause —
+    * rank matches by a stored field instead of relevance): documents
+    * matching ≥ 1 query term, top-k by (doc length desc, docId asc),
+    * where the length is the index's own doclens norm — postings +
+    * doclens only, the corpus text is never read. INTEGERS only.
+    *
+    * Scale shape: one pruned segments read (term IN + bucket pushdown),
+    * per-bucket union + doclen lookup + bounded top-k (the same
+    * [[Searcher.TopK]] the scoring paths use — doc lengths < 2⁵³ are
+    * exact as doubles), then ONE global ordered k-merge
+    * (TakeOrderedAndProject). Only k rows leave each bucket.
+    *
+    * Returns DataFrame(rank: Int, doc_id: Long, dl: Long).
+    */
+  def searchSortedByLen(query: String, k: Int): DataFrame = {
+    val empty = spark.emptyDataset[(Int, Long, Long)].toDF("rank", "doc_id", "dl")
+    val ts = Tokenizer.tokenize(query).distinct.sorted
+    if (ts.isEmpty) return empty
+    val local = dictRows(ts)
+    val live = ts.filter(t => local.get(t).exists(_.df > 0L))
+    if (live.isEmpty) return empty
+    val buckets = live.flatMap(t => local(t).buckets).distinct
+    val kLocal = k
+    val postings = spark.read.parquet(layout.segments).as[PostingRow]
+      .where($"term".isin(live: _*) && $"bucket".isin(buckets.toSeq: _*))
+    val doclens = doclensDS.where($"bucket".isin(buckets.toSeq: _*))
+    val perBucket = postings
+      .groupByKey(_.bucket)
+      .cogroup(doclens.groupByKey(_.bucket)) { (bucket, posts, lens) =>
+        val postsArr = posts.toArray
+        val lensArr = lens.toArray
+        if (postsArr.isEmpty) Iterator.empty
+        else if (lensArr.isEmpty)
+          throw new IllegalStateException(
+            s"index invariant violated: bucket $bucket has postings but no doclens row ($root)")
+        else {
+          val dl = lensArr.head
+          val seen = new java.util.HashSet[Long]()
+          postsArr.foreach { r =>
+            val p = PostingCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq)
+            var i = 0
+            while (i < p.size) { seen.add(p.docIds(i)); i += 1 }
+          }
+          val topk = new Searcher.TopK(kLocal)
+          val it = seen.iterator()
+          while (it.hasNext) {
+            val d = it.next()
+            val len = dl.lens(java.util.Arrays.binarySearch(dl.docIds, d))
+            topk.offer(d, len.toDouble)
+          }
+          topk.result
+        }
+      }
+      .toDF("doc_id", "len")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("len"), asc("doc_id"))
+    perBucket
+      .orderBy(desc("len"), asc("doc_id")).limit(k)
+      .select(row_number().over(w).as("rank"), col("doc_id"),
+        col("len").cast("long").as("dl"))
+      .orderBy(col("rank"))
+  }
+
+  /** Dictionary ENUMERATION (the terms-enum / vocabulary-browse API —
+    * the reference's key-export analog over the TERM space,
+    * /root/reference/include/usearch/index_dense.hpp:691-701
+    * `export_keys`): for each prefix, the first n dictionary terms in
+    * ascending term order with their document frequencies. INTEGERS +
+    * strings only.
+    *
+    * Scale shape: one startsWith-pruned dictionary read per prefix (the
+    * dictionary is term-range-partitioned, so the prefix filter prunes
+    * files), bounded top-n each, a union of |prefixes| tiny frames. The
+    * corpus and the postings are never touched.
+    *
+    * Returns DataFrame(prefix_id: Int, term: String, df: Long) ordered
+    * (prefix_id, term); an expansion-empty prefix contributes no rows.
+    */
+  def termsEnum(prefixes: Seq[(Int, String)], n: Int): DataFrame = {
+    val empty = spark.emptyDataset[(Int, String, Long)]
+      .toDF("prefix_id", "term", "df")
+    if (prefixes.isEmpty) return empty
+    prefixes.map { case (id, p) =>
+      dictDS.where($"term".startsWith(p))
+        .select(lit(id).as("prefix_id"), $"term", $"df")
+        .orderBy($"term").limit(n)
+    }.reduce(_ unionAll _)
+      .orderBy(col("prefix_id"), col("term"))
+  }
+
+  /** Index-only DOC-LENGTH PERCENTILES (the index-stats readout a corpus
+    * census runs; the reference's per-level stats direction,
+    * /root/reference/include/usearch/index.hpp:3133-3210): for each
+    * requested percentile p, the (⌊(n−1)·p/100⌋+1)-th smallest doc
+    * length among the n docs the index holds norms for — the "lower"
+    * interpolation rule, INTEGERS end-to-end.
+    *
+    * Scale shape: doclens → (dl, count) histogram (partial-aggregated;
+    * rows bounded by DISTINCT length values, not docs), one cumulative
+    * window over that bounded frame, then a partial-aggregated `min`
+    * per percentile. The only driver scalar is n. A corpus whose
+    * distinct-length cardinality itself explodes would pre-bucket
+    * lengths first; at any realistic doc-length bound the histogram is
+    * thousands of rows.
+    *
+    * Returns DataFrame(p: Int, dl: Long) ordered by p.
+    */
+  def lenPercentiles(ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 100),
+      s"percentiles must be in [0, 100], got $ps")
+    val hist = doclensDS
+      .flatMap(r => r.lens.iterator)
+      .toDF("dl")
+      .groupBy(col("dl")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dl")).rowsBetween(Long.MinValue, 0)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val n: Long = hist.agg(sum(col("cnt"))).collect().head.getLong(0)
+    ps.map { p =>
+      val target = (n - 1L) * p / 100L + 1L // min cum ≥ target ⇔ sorted[k], k = ((n−1)p)/100
+      cum.where(col("cum") >= target)
+        .agg(min(col("dl")).as("dl"))
+        .select(lit(p).as("p"), col("dl"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("p"))
+  }
+
   /** Index-only COLLOCATION mining, batched: for each seed term, the
     * top-n terms that immediately FOLLOW it in the corpus (the bigram
     * "what comes next" table a query-suggestion / phrase-mining pipeline
@@ -1214,6 +1489,35 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
       norm.sortBy(_._1).map { case (t, w) => (Seq(t), w) }, k)
   }
 
+  /** DISJUNCTION-MAX query (the Lucene `dis_max` analog): per doc,
+    * score = best + tie · (sum − best) over the per-term BM25 parts —
+    * the best single term dominates and the others contribute only a
+    * tie-breaking fraction, the scoring mode a multi-field / synonym-ish
+    * search runs when summing would over-reward redundant matches.
+    *
+    * Determinism contract: parts fold in ascending term order (absent
+    * terms contribute an exact +0.0); `best` is a fold of max (exact and
+    * order-free for the always-positive BM25 parts vs a 0.0 floor);
+    * `best + tie · (sum − best)` is three IEEE ops in a fixed
+    * association, so a SQL oracle writing the identical expression gets
+    * identical bits. tie must be an exactly-representable double the
+    * oracle can re-literal (0.25 here); tie = 1 reduces to the ordinary
+    * disjunctive sum. Plan shape identical to [[search]] (see
+    * [[searchGroupsWeighted]]).
+    */
+  def searchDisMax(terms: Seq[String], tie: Double, k: Int): DataFrame = {
+    val norm = terms.map { t =>
+      val toks = Tokenizer.tokenize(t)
+      require(toks.length == 1,
+        s"dis-max entry must normalize to exactly one token, got '$t'")
+      toks.head
+    }
+    require(norm.distinct.size == norm.size, s"dis-max terms must be distinct, got $terms")
+    require(tie >= 0.0 && tie <= 1.0, s"tie breaker must be in [0, 1], got $tie")
+    searchGroupsWeighted(
+      norm.sorted.map(t => (Seq(t), 1.0)), k, disMaxTie = Some(tie))
+  }
+
   /** Shared weighted-group scoring core ([[searchSynonym]] with all
     * weights 1.0, [[searchBoosted]] with singleton groups): per-doc
     * tf' = Σ member tfs (integer adds, order-free), group df' = MAX
@@ -1229,7 +1533,8 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     * top-k per bucket, one global k-merge.
     */
   private def searchGroupsWeighted(
-      norm: Seq[(Seq[String], Double)], k: Int): DataFrame = {
+      norm: Seq[(Seq[String], Double)], k: Int,
+      disMaxTie: Option[Double] = None): DataFrame = {
     if (norm.isEmpty) return spark.emptyDataset[Hit].toDF("doc_id", "score")
     val local = dictRows(norm.flatMap(_._1).distinct.sorted)
     val liveW = norm
@@ -1254,6 +1559,8 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     val wsB = spark.sparkContext.broadcast(ws)
     val kLocal = k
     val avgdlLocal = stats.avgdl
+    val isDisMax = disMaxTie.isDefined
+    val tieLocal = disMaxTie.getOrElse(1.0)
 
     val perBucket = postings
       .groupByKey(_.bucket)
@@ -1288,16 +1595,23 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
             val d = it.next()
             val len = dLens(java.util.Arrays.binarySearch(dIds, d))
             var s = 0.0
+            var mx = 0.0
             var gi = 0
             // fixed caller group order — deterministic accumulation;
             // association w · (idf · tfNorm) exactly as the oracle writes it
             while (gi < nG) {
               val tf = tfByGroup(gi).getOrDefault(d, 0)
-              if (tf > 0)
-                s += wsB.value(gi) * (idfsB.value(gi) * Bm25.tfNorm(tf, len, avgdlLocal))
+              if (tf > 0) {
+                val part = wsB.value(gi) * (idfsB.value(gi) * Bm25.tfNorm(tf, len, avgdlLocal))
+                s += part
+                if (part > mx) mx = part
+              }
               gi += 1
             }
-            topk.offer(d, s)
+            // dis-max: best + tie·(sum − best), three IEEE ops in this
+            // exact association (BM25 parts are > 0, so the 0.0 floor on
+            // `mx` never wins for a matched doc)
+            topk.offer(d, if (isDisMax) mx + tieLocal * (s - mx) else s)
           }
           topk.result
         }
@@ -2039,6 +2353,74 @@ object Searcher {
           }
           ptr(argmin) += 1
           if (ptr(argmin) >= lists(argmin).length) done = true
+        }
+        if (bestSpan <= window) Iterator.single((docId, bestSpan, bestStart))
+        else Iterator.empty
+      }
+    }
+  }
+
+  /** Minimal ORDERED span inside one bucket given decoded positional
+    * postings: for each doc containing every query token, the minimal
+    * span of positions p₀ < p₁ < … < p_{m−1} (one per token, in query
+    * order) and the leftmost start achieving it — emitted only when
+    * min_span ≤ window.
+    *
+    * Per doc, greedy successor-chaining from each start: picking the
+    * SMALLEST admissible position at every level minimizes the chain's
+    * end for that start (exchange argument — any valid tuple starting at
+    * p₀ has its level-j position ≥ the greedy one, inductively), so
+    * (greedySpan(p₀), p₀) minimized over starts equals the lexicographic
+    * min of (span, start) over ALL ordered tuples — the oracle's
+    * cross-join definition. If the chain dies at some level for p₀ it
+    * dies for every larger start (successors only grow), so the start
+    * loop breaks early. O(|L₀| · m · log positions) per doc, integers
+    * only.
+    */
+  private[index] def orderedSpanHitsInBucket(
+      ts: Array[String],
+      window: Int,
+      byTerm: Map[String, graft.codec.PosPostings]): Iterator[(Long, Long, Long)] = {
+    val distinctTs = ts.distinct
+    if (!distinctTs.forall(byTerm.contains)) return Iterator.empty
+    val m = ts.length
+    val maps: Map[String, java.util.HashMap[Long, Array[Int]]] =
+      distinctTs.iterator.map { t =>
+        val pp = byTerm(t)
+        val h = new java.util.HashMap[Long, Array[Int]](pp.size * 2)
+        var i = 0
+        while (i < pp.size) { h.put(pp.docIds(i), pp.positions(i)); i += 1 }
+        t -> h
+      }.toMap
+    val lead = byTerm(distinctTs.minBy(t => byTerm(t).size))
+    Iterator.range(0, lead.size).flatMap { i =>
+      val docId = lead.docIds(i)
+      if (!distinctTs.forall(t => maps(t).containsKey(docId))) Iterator.empty
+      else {
+        val lists: Array[Array[Int]] = Array.tabulate(m)(j => maps(ts(j)).get(docId))
+        var bestSpan = Long.MaxValue
+        var bestStart = Long.MaxValue
+        val starts = lists(0)
+        var si = 0
+        var dead = false
+        while (!dead && si < starts.length) {
+          val p0 = starts(si)
+          var cur = p0
+          var j = 1
+          var ok = true
+          while (ok && j < m) {
+            val l = lists(j)
+            // first position strictly greater than cur
+            val raw = java.util.Arrays.binarySearch(l, cur + 1)
+            val idx = if (raw >= 0) raw else -raw - 1
+            if (idx >= l.length) { ok = false; dead = true }
+            else { cur = l(idx); j += 1 }
+          }
+          if (ok) {
+            val span = (cur - p0 + 1).toLong
+            if (span < bestSpan) { bestSpan = span; bestStart = p0.toLong }
+          }
+          si += 1
         }
         if (bestSpan <= window) Iterator.single((docId, bestSpan, bestStart))
         else Iterator.empty

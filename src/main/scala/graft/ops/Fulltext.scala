@@ -1643,4 +1643,422 @@ object Fulltext {
     }
     new graft.index.MultiSearcher(spark, Seq(rootA, rootB))
   }
+
+  // ------------------------------------------------------------------
+  // Round-5 second wave: ordered spans, hit counts, field sort,
+  // dis-max scoring, cardinality sketch
+  // ------------------------------------------------------------------
+
+  /** Ordered-span probe set: (0) a live bigram, (1) a live trigram,
+    * (2) probe 0 REVERSED — the entry's hit set differs from (0) exactly
+    * where order matters, the property an unordered NEAR can't express,
+    * (3) a dictionary-absent canary (dead at planning).
+    */
+  final val SpanOrderedQueries: Seq[(Int, String, Int)] = Seq(
+    (0, "dup spark", 10),
+    (1, "key hash join", 14),
+    (2, "spark dup", 10),
+    (3, "quantum flux", 5))
+
+  /** Index-only ORDERED-SPAN search over the fixed probe set (the
+    * `span_near(in_order=true)` shape next to [[engProximity]]'s
+    * unordered NEAR): tokens must appear in query order at strictly
+    * increasing positions within the window
+    * ([[graft.index.Searcher.spanOrderedMany]]).
+    */
+  def engSpanOrdered(spark: SparkSession, dir: String): DataFrame =
+    positionalIndexFor(spark, dir).spanOrderedMany(SpanOrderedQueries)
+
+  /** Oracle: the cross-join definition — min over all ORDERED position
+    * tuples p0 < p1 < … (one per query token, in query order) of
+    * (p_last − p0 + 1), leftmost start among the minimal tuples; the
+    * (span, start) lexicographic min rides one BIGINT span·2²⁰ + start
+    * exactly like [[engProximitySql]]. Integers only.
+    */
+  def spanOrderedSql(queries: Seq[(Int, String, Int)] = SpanOrderedQueries): String = {
+    val enc = 1048576L
+    val selects = queries.map { case (qid, q, w) =>
+      val ts = Tokenizer.tokenize(q)
+      val lists = ts.zipWithIndex.map { case (t, j) =>
+        s"""(SELECT doc_id, unnest(list_filter(range(1, len(toks) + 1), x -> toks[x] = '$t')) - 1 AS p$j
+           |   FROM d) q$j""".stripMargin
+      }
+      val joins = lists.head +: lists.tail.map(l => s"JOIN $l USING (doc_id)")
+      val ordered = ts.indices.drop(1).map(j => s"p${j - 1} < p$j")
+      val whereSql = if (ordered.isEmpty) "" else ordered.mkString("\n    WHERE ", " AND ", "")
+      val last = ts.length - 1
+      s"""SELECT $qid AS query_id, doc_id,
+         |    CAST(min(enc) // $enc AS BIGINT) AS min_span,
+         |    CAST(min(enc) % $enc AS BIGINT) AS span_start
+         |  FROM (
+         |    SELECT doc_id,
+         |      (p$last - p0 + 1) * $enc + p0 AS enc
+         |    FROM ${joins.mkString("\n    ")}$whereSql
+         |  ) e
+         |  GROUP BY doc_id
+         |  HAVING CAST(min(enc) // $enc AS BIGINT) <= $w""".stripMargin
+    }
+    s"""WITH d AS (SELECT doc_id, ${Tokenizer.duckdbTokensSql("text")} AS toks FROM documents)
+       |SELECT query_id, doc_id, min_span, span_start FROM (
+       |${selects.mkString("\nUNION ALL\n")}
+       |) u ORDER BY query_id, doc_id""".stripMargin
+  }
+
+  /** Multi-generation ORDERED-SPAN search: union of per-shard positional
+    * sweeps over two uncompacted generations (disjoint doc spaces —
+    * containment needs no statistics). Same oracle as the single-index
+    * entry.
+    */
+  def engSpanOrderedMultiGen(spark: SparkSession, dir: String): DataFrame =
+    mgenSearcher(spark, dir, positional = true).spanOrderedMany(SpanOrderedQueries)
+
+  /** Hit-count probe set: the conjunctive probes (rare, common, mixed)
+    * plus a partially-dead query (live term + absent terms — the live
+    * term still counts) and a fully-dead canary (reports 0, 0).
+    */
+  final val CountQueries: Seq[(Int, String)] =
+    AndQueries ++ Seq((4, "quantum flux"))
+
+  /** Index-only batched HIT COUNTING (`count` API / total-hits):
+    * (n_docs, total_tf) per disjunctive query from postings alone
+    * ([[graft.index.Searcher.countMany]]). Integers only.
+    */
+  def engCountQuery(spark: SparkSession, dir: String): DataFrame =
+    indexFor(spark, dir).countMany(CountQueries)
+
+  /** Oracle: per query, distinct matched docs + summed term occurrences
+    * over the tokenized corpus (DuckDB `sum(BIGINT)` is HUGEINT → one
+    * BIGINT cast; a dead query's NULL sum coalesces to the engine's 0).
+    */
+  def countQuerySql(queries: Seq[(Int, String)] = CountQueries): String = {
+    val selects = queries.map { case (qid, q) =>
+      val ts = Tokenizer.tokenize(q).distinct.sorted
+      val termList = ts.map(t => s"'$t'").mkString(", ")
+      s"""SELECT $qid AS query_id, count(DISTINCT doc_id) AS n_docs,
+         |  COALESCE(CAST(sum(tf) AS BIGINT), 0) AS total_tf
+         |FROM tf WHERE term IN ($termList)""".stripMargin
+    }
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+       |SELECT query_id, n_docs, total_tf FROM (
+       |${selects.mkString("\nUNION ALL\n")}
+       |) u ORDER BY query_id""".stripMargin
+  }
+
+  /** SORT-BY-FIELD search (the `sort` clause): docs matching the fixed
+    * disjunctive query, top-k by (doc length desc, doc_id asc) where the
+    * length is the index's own doclens norm
+    * ([[graft.index.Searcher.searchSortedByLen]]). Integers only.
+    */
+  def engSortByLen(spark: SparkSession, dir: String): DataFrame =
+    indexFor(spark, dir).searchSortedByLen(RefQuery.mkString(" "), K)
+
+  /** Oracle: matched docs joined to the recomputed per-doc token count,
+    * ranked (dl desc, doc_id asc). */
+  def sortByLenSql(terms: Seq[String] = RefQuery, k: Int = K): String = {
+    val termList = terms.flatMap(Tokenizer.tokenize).distinct.sorted
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |hits AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ($termList))
+       |SELECT CAST(row_number() OVER (ORDER BY dl DESC, doc_id) AS INT) AS rank,
+       |  doc_id, dl
+       |FROM hits JOIN dl USING (doc_id)
+       |ORDER BY rank LIMIT $k""".stripMargin
+  }
+
+  /** The dis-max tie breaker: ¼ is an exact binary fraction, so both
+    * engines' `best + tie · (sum − best)` are the same three IEEE ops.
+    */
+  final val DisMaxTie = 0.25
+
+  /** DISJUNCTION-MAX scored search (the Lucene `dis_max` analog): the
+    * best single term dominates, the others contribute tie · part
+    * ([[graft.index.Searcher.searchDisMax]]).
+    */
+  def engDisMax(spark: SparkSession, dir: String): DataFrame =
+    indexFor(spark, dir).searchDisMax(RefQuery, DisMaxTie, K)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+
+  /** Oracle for [[engDisMax]]: per-term BM25 parts as columns (absent →
+    * exact 0.0), sum = the ascending-term `+` chain (the engine's left
+    * fold), best = `greatest` (max of the always-positive parts vs the
+    * 0.0 floor is order-free and exact), then the identical
+    * `mx + 0.25 * (s − mx)` association, rounded at 4 dp.
+    */
+  def disMaxSql(terms: Seq[String] = RefQuery, tie: Double = DisMaxTie,
+      k: Int = K): String = {
+    val sorted = terms.flatMap(Tokenizer.tokenize).distinct.sorted
+    val termList = sorted.map(t => s"'$t'").mkString(", ")
+    val part = graft.query.Bm25.sqlScore("tf.tf", "dfq.df", "dl.dl", "st.n", "st.avgdl")
+    val partCols = sorted.zipWithIndex.map { case (t, j) =>
+      s"COALESCE(MAX(CASE WHEN tf.term = '$t' THEN ($part) END), 0.0) AS c$j"
+    }
+    val sumExpr = sorted.indices.map(j => s"c$j").mkString("(", " + ", ")")
+    val maxExpr =
+      if (sorted.length == 1) "c0"
+      else s"greatest(${sorted.indices.map(j => s"c$j").mkString(", ")})"
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+       |              CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+       |dfq AS (SELECT term, count(*) AS df FROM tf WHERE term IN ($termList) GROUP BY 1),
+       |parts AS (
+       |  SELECT tf.doc_id, ${partCols.mkString(",\n    ")}
+       |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       |  WHERE tf.term IN ($termList)
+       |  GROUP BY tf.doc_id),
+       |scores AS (
+       |  SELECT doc_id,
+       |    ($maxExpr + (CAST('$tie' AS DOUBLE)) * ($sumExpr - $maxExpr)) AS score_raw
+       |  FROM parts)
+       |SELECT doc_id, round(score_raw, 4) AS score
+       |FROM scores
+       |ORDER BY score_raw DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
+
+  /** Terms-enum probe set: a dense one-letter prefix, a sparser
+    * two-letter prefix, and an expansion-empty canary (no rows).
+    */
+  final val TermsEnumPrefixes: Seq[(Int, String)] =
+    Seq((0, "s"), (1, "ma"), (2, "zzq"))
+  final val TermsEnumN = 8
+
+  /** Dictionary TERMS-ENUM (vocabulary browsing): first n terms per
+    * prefix in term order, with df — answered from the dictionary
+    * alone ([[graft.index.Searcher.termsEnum]]).
+    */
+  def engTermsEnum(spark: SparkSession, dir: String): DataFrame =
+    indexFor(spark, dir).termsEnum(TermsEnumPrefixes, TermsEnumN)
+
+  /** Oracle: df recomputed from distinct (doc, term) pairs, prefix via
+    * LIKE (probes are [a-z]+ — no LIKE metacharacters). */
+  def termsEnumSql(prefixes: Seq[(Int, String)] = TermsEnumPrefixes,
+      n: Int = TermsEnumN): String = {
+    val selects = prefixes.map { case (id, p) =>
+      s"""SELECT $id AS prefix_id, term, df FROM (
+         |  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+         |  WHERE term LIKE '$p%' GROUP BY term ORDER BY term LIMIT $n) s$id""".stripMargin
+    }
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents)
+       |SELECT prefix_id, term, df FROM (
+       |${selects.mkString("\nUNION ALL\n")}
+       |) u ORDER BY prefix_id, term""".stripMargin
+  }
+
+  /** The percentile probe set for the doc-length readout. */
+  final val LenPercentilesP: Seq[Int] = Seq(50, 90, 99)
+
+  /** Index-only DOC-LENGTH PERCENTILES over the doclens norms
+    * ([[graft.index.Searcher.lenPercentiles]]). Integers only (the
+    * "lower" interpolation rule — no float interpolation crosses the
+    * engine boundary).
+    */
+  def engLenPercentiles(spark: SparkSession, dir: String): DataFrame =
+    indexFor(spark, dir).lenPercentiles(LenPercentilesP)
+
+  /** Oracle: the rank-selection definition — the (⌊(n−1)·p/100⌋+1)-th
+    * smallest recomputed doc length (ties among equal lengths leave the
+    * selected VALUE well-defined whatever the row_number tie order). */
+  def lenPercentilesSql(ps: Seq[Int] = LenPercentilesP): String = {
+    val selects = ps.map { p =>
+      s"""SELECT $p AS p, dl FROM r, n WHERE rn = ((n.n - 1) * $p) // 100 + 1"""
+    }
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+       |r AS (SELECT dl, row_number() OVER (ORDER BY dl) AS rn FROM d),
+       |n AS (SELECT count(*) AS n FROM d)
+       |SELECT p, dl FROM (
+       |${selects.mkString("\nUNION ALL\n")}
+       |) u ORDER BY p""".stripMargin
+  }
+
+  /** Rescore stage-1 depth and the no-span sort sentinel (larger than
+    * any real span under the 2²⁰ position-encoding bound). */
+  final val RescoreN = 50
+  final val RescoreNoSpan = 1048576L
+
+  /** Two-stage RESCORE retrieval (the search-engine `rescore` API): a
+    * cheap BM25 top-N from postings, re-ranked by a positional proximity
+    * pass over ONLY those candidates' spans — final order
+    * (min_span asc, bm25 rank asc), ALL-INTEGER fusion (the Hybrid RRF
+    * discipline: ranks come from each stage's deterministic total
+    * order, never a float combination).
+    *
+    * Scale shape: stage 1 is the ordinary WAND search (k = N bounded);
+    * stage 2 is one positions sweep for the query's terms; the fusion
+    * joins N rows against the span frame and windows over N rows only.
+    *
+    * Returns DataFrame(rank: Int, doc_id: Long, min_span: Long — 0 when
+    * the candidate has no all-terms window, rank1: Int) ordered by rank,
+    * top-k.
+    */
+  def engRescore(spark: SparkSession, dir: String): DataFrame = {
+    val s = positionalIndexFor(spark, dir)
+    val query = RefQuery.mkString(" ")
+    val w1 = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score"), asc("doc_id"))
+    val top = s.search(query, RescoreN)
+      .select(col("doc_id"), row_number().over(w1).as("rank1"))
+    val spans = s.proximityMany(Seq((0, query, (RescoreNoSpan - 1L).toInt)))
+      .select(col("doc_id"), col("min_span"))
+    val fused = top.join(spans, Seq("doc_id"), "left")
+      .withColumn("skey", coalesce(col("min_span"), lit(RescoreNoSpan)))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .orderBy(asc("skey"), asc("rank1"))
+    fused
+      .select(row_number().over(w2).as("rank"), col("doc_id"),
+        coalesce(col("min_span"), lit(0L)).as("min_span"), col("rank1"))
+      .where(col("rank") <= K)
+      .orderBy(col("rank"))
+  }
+
+  /** Oracle for [[engRescore]]: stage 1 = the deterministic
+    * [[foldScoreSql]] BM25 order (bit-identical raw scores ⇒ identical
+    * rank1), stage 2 = [[engProximitySql]]'s span·2²⁰+start min, fused
+    * by the same integer sort. */
+  def rescoreSql(terms: Seq[String] = RefQuery, n: Int = RescoreN,
+      k: Int = K): String = {
+    val enc = 1048576L
+    val sorted = terms.flatMap(Tokenizer.tokenize).distinct.sorted
+    val termList = sorted.map(t => s"'$t'").mkString(", ")
+    // disjunctive stage 1 — the COALESCE fold (a doc missing a term
+    // adds an exact 0.0, never a NULL score)
+    val fold = foldScoreSqlAny(sorted)
+    val lists = sorted.zipWithIndex.map { case (t, j) =>
+      s"""(SELECT doc_id, unnest(list_filter(range(1, len(toks) + 1), x -> toks[x] = '$t')) - 1 AS p$j
+         |   FROM dd) q$j""".stripMargin
+    }
+    val joins = lists.head +: lists.tail.map(l => s"JOIN $l USING (doc_id)")
+    val psList = sorted.indices.map(j => s"p$j").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+       |              CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+       |dfq AS (SELECT term, count(*) AS df FROM tf WHERE term IN ($termList) GROUP BY 1),
+       |scores AS (
+       |  SELECT tf.doc_id, $fold AS score_raw
+       |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       |  WHERE tf.term IN ($termList)
+       |  GROUP BY tf.doc_id),
+       |top AS (SELECT doc_id, rank1 FROM (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score_raw DESC, doc_id) AS INT) AS rank1
+       |  FROM scores) t WHERE rank1 <= $n),
+       |dd AS (SELECT doc_id, ${Tokenizer.duckdbTokensSql("text")} AS toks FROM documents),
+       |spans AS (
+       |  SELECT doc_id, CAST(min(e) // $enc AS BIGINT) AS min_span FROM (
+       |    SELECT doc_id, (greatest($psList) - least($psList) + 1) * $enc + least($psList) AS e
+       |    FROM ${joins.mkString("\n    ")}
+       |  ) se GROUP BY doc_id),
+       |fused AS (
+       |  SELECT top.doc_id, top.rank1, spans.min_span,
+       |    COALESCE(spans.min_span, $RescoreNoSpan) AS skey
+       |  FROM top LEFT JOIN spans USING (doc_id))
+       |SELECT CAST(row_number() OVER (ORDER BY skey, rank1) AS INT) AS rank,
+       |  doc_id, COALESCE(min_span, 0) AS min_span, rank1
+       |FROM fused
+       |ORDER BY rank LIMIT $k""".stripMargin
+  }
+
+  /** HyperLogLog register count (2⁸ — the precision a cardinality
+    * aggregation defaults to at this corpus scale) and the matching
+    * bias constant α·m², both driver-computed once and embedded as the
+    * SAME literal in both engines (no cross-engine constant
+    * arithmetic).
+    */
+  final val HllRegisters = 256
+  final val HllAlphaM2: Double =
+    0.7213 / (1.0 + 1.079 / HllRegisters.toDouble) *
+      (HllRegisters.toDouble * HllRegisters.toDouble)
+
+  /** Distinct-term CARDINALITY SKETCH (the `cardinality` aggregation /
+    * the sketch a 100 TB vocabulary census runs instead of a global
+    * count-distinct): a deterministic HyperLogLog over md5-derived
+    * 60-bit hashes — register = h mod 256, rank = leading-zero count of
+    * the next 32 bits + 1 — next to the exact count for the accuracy
+    * readout. Everything cross-engine-exact BY CONSTRUCTION:
+    *   - the hash is the md5-hex rule (portable-integer discipline);
+    *   - registers/ranks are integers;
+    *   - Z = Σ 2^−M_j over the 256 registers is a sum of exact powers
+    *     of two spanning ≤ 42 binary orders (2⁸ … 2⁻³³), so EVERY
+    *     partial sum fits a 53-bit mantissa — the addition order cannot
+    *     matter, a bare `sum()` is exact in both engines;
+    *   - the estimate is one division by the shared α·m² literal,
+    *     rounded at 4 dp.
+    *
+    * Scale shape: one tokenize scan → 256-row partial-aggregated max —
+    * the whole reduction state is 256 integers regardless of corpus
+    * size (the point of the sketch); the exact count column is the
+    * one global count-distinct it replaces, kept here as the oracle's
+    * accuracy witness.
+    *
+    * Returns one row (m_registers: Int, n_zero: Long, est_distinct:
+    * Double, exact_distinct: Long).
+    */
+  def ftHllCard(spark: SparkSession, dir: String): DataFrame = {
+    val m = HllRegisters
+    val tok = docs(spark, dir)
+      .select(explode(Tokenizer.tokensCol(col("text"))).as("term"))
+    val h = conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long")
+    val hashed = tok.select(
+      (h % m).cast("int").as("reg"),
+      (shiftright(h, 8) % 4294967296L).as("w"))
+    // rank = index of the leading 1-bit of the 32-bit w (1-based), 33 if w = 0
+    val rank = (32 to 1 by -1).foldLeft(lit(33)) { (acc, r) =>
+      when(col("w") >= lit(1L << (32 - r)), lit(r)).otherwise(acc)
+    }
+    val regs = hashed.select(col("reg"), rank.as("rnk"))
+      .groupBy(col("reg")).agg(max(col("rnk")).as("mr"))
+    val full = spark.range(m.toLong).select(col("id").cast("int").as("reg"))
+      .join(regs, Seq("reg"), "left")
+      .na.fill(0, Seq("mr"))
+    val sketch = full.agg(
+      sum(pow(lit(2.0), -col("mr"))).as("z"),
+      sum(when(col("mr") === 0, 1L).otherwise(0L)).as("n_zero"))
+    val exact = tok.agg(countDistinct(col("term")).as("exact_distinct"))
+    // linear counting below 2.5·m with empty registers (the standard HLL
+    // small-range correction): m·ln(m/V). The branch condition compares
+    // deterministic doubles; the ln rides the same
+    // identical-input + round(4) discipline as the BM25 scores.
+    val raw = lit(HllAlphaM2) / col("z")
+    val mD = lit(m.toDouble)
+    val est = when(col("n_zero") > 0L && raw <= lit(2.5 * m),
+      mD * log(mD / col("n_zero").cast("double"))).otherwise(raw)
+    sketch.crossJoin(exact).select(
+      lit(m).as("m_registers"),
+      col("n_zero"),
+      round(est, 4).as("est_distinct"),
+      col("exact_distinct"))
+  }
+
+  /** Oracle for [[ftHllCard]]: the identical register/rank integer
+    * pipeline over the same md5 hashes, the same provably-exact Z sum,
+    * the same embedded α·m² literal. */
+  def ftHllCardSql(): String = {
+    val m = HllRegisters
+    val rankCase = (1 to 32)
+      .map(r => s"WHEN w >= ${1L << (32 - r)} THEN $r")
+      .mkString("CASE ", " ", " ELSE 33 END")
+    s"""WITH tok AS (SELECT unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |h AS (SELECT ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tok),
+       |b AS (SELECT CAST(h % $m AS INT) AS reg, $rankCase AS rnk
+       |      FROM (SELECT h, (h // 256) % 4294967296 AS w FROM h)),
+       |regs AS (SELECT reg, max(rnk) AS mr FROM b GROUP BY reg),
+       |fullr AS (SELECT CAST(r.range AS INT) AS reg, COALESCE(regs.mr, 0) AS mr
+       |          FROM range($m) r LEFT JOIN regs ON CAST(r.range AS INT) = regs.reg),
+       |agg AS (SELECT sum(power(2.0, -mr)) AS z,
+       |               CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+       |        FROM fullr),
+       |est AS (SELECT n_zero, (CAST('$HllAlphaM2' AS DOUBLE)) / z AS raw FROM agg)
+       |SELECT $m AS m_registers, n_zero,
+       |  round(CASE WHEN n_zero > 0 AND raw <= ${2.5 * m}
+       |             THEN CAST('${m.toDouble}' AS DOUBLE) * ln(CAST('${m.toDouble}' AS DOUBLE) / CAST(n_zero AS DOUBLE))
+       |             ELSE raw END, 4) AS est_distinct,
+       |  CAST((SELECT count(DISTINCT term) FROM tok) AS BIGINT) AS exact_distinct
+       |FROM est""".stripMargin
+  }
 }
