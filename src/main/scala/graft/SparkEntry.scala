@@ -80,6 +80,8 @@ object SparkEntry {
     "eng_count_query" -> Fulltext.engCountQuery _,
     "eng_sort_by_len" -> Fulltext.engSortByLen _,
     "eng_dismax" -> Fulltext.engDisMax _,
+    "eng_phrase_prefix" -> Fulltext.engPhrasePrefix _,
+    "eng_count_multigen" -> Fulltext.engCountMultiGen _,
     "eng_terms_enum" -> Fulltext.engTermsEnum _,
     "eng_len_percentiles" -> Fulltext.engLenPercentiles _,
     "eng_rescore" -> Fulltext.engRescore _,
@@ -239,6 +241,8 @@ object SparkEntry {
     "eng_count_query" -> Fulltext.countQuerySql(),
     "eng_sort_by_len" -> Fulltext.sortByLenSql(),
     "eng_dismax" -> Fulltext.disMaxSql(),
+    "eng_phrase_prefix" -> Fulltext.phrasePrefixSql(),
+    "eng_count_multigen" -> Fulltext.countQuerySql(),
     "eng_terms_enum" -> Fulltext.termsEnumSql(),
     "eng_len_percentiles" -> Fulltext.lenPercentilesSql(),
     "eng_rescore" -> Fulltext.rescoreSql(),

@@ -113,4 +113,16 @@ final class MultiSearcher(spark: SparkSession, roots: Seq[String]) {
   def spanOrderedMany(queries: Seq[(Int, String, Int)]): DataFrame =
     searchers.map(_.spanOrderedMany(queries)).reduce(_ union _)
       .orderBy(col("query_id"), col("doc_id"))
+
+  /** Index-only hit counting across generations: per-shard (n_docs,
+    * total_tf) partials summed per query — exact because generations
+    * hold DISJOINT doc spaces (the same argument that lets per-bucket
+    * distinct counts add inside one index).
+    */
+  def countMany(queries: Seq[(Int, String)]): DataFrame =
+    searchers.map(_.countMany(queries)).reduce(_ union _)
+      .groupBy(col("query_id"))
+      .agg(org.apache.spark.sql.functions.sum(col("n_docs")).as("n_docs"),
+        org.apache.spark.sql.functions.sum(col("total_tf")).as("total_tf"))
+      .orderBy(col("query_id"))
 }

@@ -734,6 +734,45 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
       .orderBy(col("rank"))
   }
 
+  /** Index-only PHRASE-PREFIX search (the `match_phrase_prefix` /
+    * type-ahead shape): documents where the head tokens are immediately
+    * followed by ANY dictionary term starting with `prefix`, with the
+    * total occurrence count. Expansion terms occupy the same position
+    * slot, so per-expansion phrase counts are disjoint and their sum
+    * equals "count of head occurrences whose next token has the prefix"
+    * — the definition a SQL oracle checks directly. INTEGERS only.
+    *
+    * Plan shape: ONE startsWith-pruned dictionary read expands the
+    * prefix (loudly bounded by maxExpansion, the [[searchPrefix]]
+    * contract); the expansions ride [[phraseMany]]'s ONE batched
+    * positions sweep (decode-once per bucket across all expansions);
+    * one partial-aggregated sum per doc.
+    *
+    * Returns DataFrame(doc_id: Long, phrase_tf: Long) ordered by doc_id.
+    */
+  def phrasePrefix(head: String, prefix: String, maxExpansion: Int = 1024): DataFrame = {
+    require(hasPositions,
+      s"index at $root has no positions sidecar — run IndexBuilder.buildPositions first")
+    val empty = spark.emptyDataset[(Long, Long)].toDF("doc_id", "phrase_tf")
+    val headTs = Tokenizer.tokenize(head)
+    require(headTs.nonEmpty, s"phrase-prefix head '$head' normalizes to nothing")
+    val p = Tokenizer.tokenize(prefix)
+    require(p.length == 1,
+      s"phrase-prefix suffix must normalize to exactly one token, got '$prefix'")
+    val exps = dictDS.where($"term".startsWith(p.head))
+      .select($"term").orderBy($"term")
+      .limit(maxExpansion + 1).collect().map(_.getString(0)).toSeq
+    require(exps.length <= maxExpansion,
+      s"prefix '$prefix' expands past maxExpansion=$maxExpansion — refine the prefix")
+    if (exps.isEmpty) return empty
+    val phrases = exps.zipWithIndex.map { case (e, i) =>
+      (i, (headTs :+ e).mkString(" "))
+    }
+    phraseMany(phrases)
+      .groupBy(col("doc_id")).agg(sum(col("phrase_tf")).as("phrase_tf"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Dictionary ENUMERATION (the terms-enum / vocabulary-browse API —
     * the reference's key-export analog over the TERM space,
     * /root/reference/include/usearch/index_dense.hpp:691-701

@@ -1876,6 +1876,45 @@ object Fulltext {
        |) u ORDER BY p""".stripMargin
   }
 
+  /** Phrase-prefix probe: head "merge" + prefix "b" expands over the
+    * dictionary to {batch, big} — a genuinely multi-expansion probe
+    * (the contamination fixture guarantees "merge batch" occurs).
+    */
+  final val PhrasePrefixHead = "merge"
+  final val PhrasePrefixSuffix = "b"
+
+  /** Index-only PHRASE-PREFIX search (`match_phrase_prefix` /
+    * type-ahead): head tokens followed immediately by any dictionary
+    * term with the prefix ([[graft.index.Searcher.phrasePrefix]]).
+    */
+  def engPhrasePrefix(spark: SparkSession, dir: String): DataFrame =
+    positionalIndexFor(spark, dir).phrasePrefix(PhrasePrefixHead, PhrasePrefixSuffix)
+
+  /** Oracle: direct position arithmetic — count positions x where the
+    * head tokens sit at x.. and the NEXT token has the prefix (the
+    * disjoint-expansion sum the engine computes, stated directly). */
+  def phrasePrefixSql(head: String = PhrasePrefixHead,
+      prefix: String = PhrasePrefixSuffix): String = {
+    val headTs = Tokenizer.tokenize(head)
+    val m = headTs.length
+    val conds = headTs.zipWithIndex.map { case (t, j) =>
+      s"toks[x + $j] = '$t'"
+    } :+ s"toks[x + $m] LIKE '$prefix%'"
+    s"""WITH d AS (SELECT doc_id, ${Tokenizer.duckdbTokensSql("text")} AS toks FROM documents),
+       |hits AS (SELECT doc_id,
+       |  unnest(list_filter(range(1, len(toks) + 1 - $m), x -> ${conds.mkString(" AND ")})) AS p
+       |  FROM d)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS phrase_tf
+       |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Multi-generation hit counting: per-shard partials summed — exact
+    * because generations hold disjoint doc spaces. Same oracle as the
+    * single-index entry.
+    */
+  def engCountMultiGen(spark: SparkSession, dir: String): DataFrame =
+    mgenSearcher(spark, dir).countMany(CountQueries)
+
   /** Rescore stage-1 depth and the no-span sort sentinel (larger than
     * any real span under the 2²⁰ position-encoding bound). */
   final val RescoreN = 50

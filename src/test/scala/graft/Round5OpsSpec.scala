@@ -166,6 +166,35 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  test("phrasePrefix == brute-force next-token-prefix adjacency count") {
+    val s = Fulltext.positionalIndexFor(spark, dir)
+    val got = s.phrasePrefix(Fulltext.PhrasePrefixHead, Fulltext.PhrasePrefixSuffix)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), graft.analyze.Tokenizer.tokenize(r.getString(1))))
+    val head = Fulltext.PhrasePrefixHead
+    val pre = Fulltext.PhrasePrefixSuffix
+    val expected = docs.flatMap { case (d, ts) =>
+      val n = ts.indices.dropRight(1).count(i => ts(i) == head && ts(i + 1).startsWith(pre))
+      if (n > 0) Some((d, n.toLong)) else None
+    }.toSeq.sortBy(_._1)
+    assert(got == expected)
+    assert(got.nonEmpty, "phrase-prefix probe found nothing — vacuous fixture")
+    // genuinely multi-expansion on this fixture: some doc matches only
+    // via a non-top expansion iff total > the single-expansion count
+    val single = s.phraseMany(Seq((0, s"$head batch"))).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got.exists { case (d, n) => n != single.getOrElse(d, 0L) },
+      "prefix expansion added nothing over the literal phrase — weak probe")
+  }
+
+  test("multi-generation countMany == single-index countMany") {
+    val single = Fulltext.engCountQuery(spark, dir).collect().map(_.toSeq).toSeq
+    val multi = Fulltext.engCountMultiGen(spark, dir).collect().map(_.toSeq).toSeq
+    assert(multi == single)
+  }
+
   test("HLL cardinality sketch: deterministic and within 25% of exact") {
     val r1 = Fulltext.ftHllCard(spark, dir).collect().head
     val r2 = Fulltext.ftHllCard(spark, dir).collect().head
