@@ -86,6 +86,10 @@ object SparkEntry {
     "eng_len_percentiles" -> Fulltext.engLenPercentiles _,
     "eng_rescore" -> Fulltext.engRescore _,
     "ft_hll_card" -> Fulltext.ftHllCard _,
+    "sim_pq_knn" -> ((s: SparkSession, d: String) => Similarity.pqKnn(s, d)),
+    "sim_pq_knn_refine" -> ((s: SparkSession, d: String) => Similarity.pqKnnRefine(s, d)),
+    "sim_recall_pq" -> Similarity.pqRecall _,
+    "sim_recall_pq_refine" -> Similarity.pqRecallRefine _,
     "eng_hybrid_rrf" -> Hybrid.engHybridRrf _,
     "eng_hybrid_rrf_many" -> Hybrid.engHybridRrfMany _,
     "eng_hybrid_rrf_ann" -> Hybrid.engHybridRrfAnn _,
@@ -247,6 +251,10 @@ object SparkEntry {
     "eng_len_percentiles" -> Fulltext.lenPercentilesSql(),
     "eng_rescore" -> Fulltext.rescoreSql(),
     "ft_hll_card" -> Fulltext.ftHllCardSql(),
+    "sim_pq_knn" -> Similarity.pqKnnSql(),
+    "sim_pq_knn_refine" -> Similarity.pqKnnRefineSql(),
+    "sim_recall_pq" -> Similarity.pqRecallSql(),
+    "sim_recall_pq_refine" -> Similarity.pqRecallRefineSql(),
     "eng_hybrid_rrf" -> Hybrid.hybridRrfSql(),
     "eng_hybrid_rrf_many" -> Hybrid.hybridRrfManySql(),
     "eng_hybrid_rrf_ann" -> Hybrid.hybridRrfManySql(),

@@ -849,26 +849,197 @@ object Similarity {
     * parameterized so the IVF recall-curve oracle replays the identical
     * k-means the persisted index was built with.
     */
-  private def kmeansCtesSql(k: Int, iters: Int): String = {
+  private def kmeansCtesSql(k: Int, iters: Int, prefix: String = ""): String = {
+    // `prefix` namespaces every emitted CTE (and the pts CTE it reads),
+    // so two independent fits — e.g. the PQ oracle's per-subspace
+    // codebooks — can coexist in one statement
+    val P = prefix
     def dist(p: String, c: String): String =
       s"list_dot_product($p,$p) - 2*list_dot_product($p,$c) + list_dot_product($c,$c)"
     def assignCte(name: String, cents: String, keepVec: Boolean): String =
       s"""$name AS (SELECT id, cid${if (keepVec) ", v" else ""}, dist FROM (
          |  SELECT p.id, c.cid, p.v, ${dist("p.v", "c.cv")} AS dist,
          |    row_number() OVER (PARTITION BY p.id ORDER BY ${dist("p.v", "c.cv")}, c.cid) AS rnk
-         |  FROM pts p CROSS JOIN $cents c) WHERE rnk = 1)""".stripMargin
+         |  FROM ${P}pts p CROSS JOIN $cents c) WHERE rnk = 1)""".stripMargin
     val iterCtes = (1 to iters).map { i =>
-      s"""${assignCte(s"a$i", s"c${i - 1}", keepVec = true)},
-         |u$i AS (SELECT cid, list(mean ORDER BY dim) AS cv FROM (
+      s"""${assignCte(s"${P}a$i", s"${P}c${i - 1}", keepVec = true)},
+         |${P}u$i AS (SELECT cid, list(mean ORDER BY dim) AS cv FROM (
          |  SELECT cid, dim, list_aggregate(list(x ORDER BY x), 'sum') / count(*) AS mean
-         |  FROM (SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS dim FROM a$i)
+         |  FROM (SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS dim FROM ${P}a$i)
          |  GROUP BY cid, dim) GROUP BY cid),
-         |c$i AS (SELECT c.cid, coalesce(u.cv, c.cv) AS cv FROM c${i - 1} c LEFT JOIN u$i u ON u.cid = c.cid)""".stripMargin
+         |${P}c$i AS (SELECT c.cid, coalesce(u.cv, c.cv) AS cv FROM ${P}c${i - 1} c LEFT JOIN ${P}u$i u ON u.cid = c.cid)""".stripMargin
     }.mkString(",\n")
-    s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, v AS cv
-       |       FROM (SELECT id, v FROM pts ORDER BY id LIMIT $k)),
+    s"""${P}c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, v AS cv
+       |       FROM (SELECT id, v FROM ${P}pts ORDER BY id LIMIT $k)),
        |$iterCtes,
-       |${assignCte("afin", s"c$iters", keepVec = false)}""".stripMargin
+       |${assignCte(s"${P}afin", s"${P}c$iters", keepVec = false)}""".stripMargin
+  }
+
+  // ---------------------------------------------- product quantization
+
+  /** PQ geometry: 2 subspaces of [[PqSubDim]] dims each (the testdata
+    * embedding dim is 64), [[PqK]]-entry codebooks, [[PqIters]] k-means
+    * updates — deliberately coarse so the ADC error (and the recall
+    * gate's value) is visible.
+    */
+  final val PqSubDim = 32
+  final val PqK = 8
+  final val PqIters = 2
+
+  private def pqFits(spark: SparkSession, dir: String)
+      : (graft.index.KMeans.Result, graft.index.KMeans.Result, DataFrame) = {
+    val e = emb(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+    val d = e.select(size(col("v")).as("d")).head().getInt(0)
+    require(d == 2 * PqSubDim,
+      s"PQ geometry expects dim ${2 * PqSubDim}, got $d — retune PqSubDim")
+    val fit1 = graft.index.KMeans.fit(spark,
+      e.select(col("id"), slice(col("v"), 1, PqSubDim).as("vec")), PqK, PqIters)
+    val fit2 = graft.index.KMeans.fit(spark,
+      e.select(col("id"), slice(col("v"), PqSubDim + 1, PqSubDim).as("vec")), PqK, PqIters)
+    (fit1, fit2, e)
+  }
+
+  /** PRODUCT-QUANTIZATION ADC top-k (the classic vector-compression
+    * family next to the scalar i8/f16/bf16/b1 dtypes; the reference's
+    * quantized-storage direction, /root/reference/README.md:258-269):
+    * each vector is stored as TWO small codebook ids (k-means per
+    * subspace, [[graft.index.KMeans]] — deterministic by construction),
+    * and query distance is the asymmetric-distance sum
+    * d(q₁, c₁[code₁]) + d(q₂, c₂[code₂]) of per-subspace
+    * query-to-centroid l2sq — a lookup-table add, never a full-vector
+    * scan.
+    *
+    * Determinism contract: the codebooks are the engine's own pinned
+    * k-means (oracle replays them CTE-for-CTE); each subspace distance
+    * uses the kmeans dot-expansion association
+    * `(q·q − 2·q·c) + c·c`; the two subspace distances add as ONE IEEE
+    * op; ranking is (adc asc, id asc) on raw doubles, rounded at 6 dp
+    * with −0.0 normalized for output.
+    *
+    * Scale shape: two bounded k-means fits (broadcast centroids), the
+    * ADC table is 2·[[PqK]] rows (broadcast), scoring is two broadcast
+    * joins + one add per vector — no full-dim arithmetic per candidate
+    * at query time, which is the entire point of PQ at 100 TB.
+    *
+    * Returns DataFrame(vec_id, adc_dist) — top-k.
+    */
+  def pqKnn(spark: SparkSession, dir: String, k: Int = 10,
+      queryVecId: Long = 0L): DataFrame = {
+    val (fit1, fit2, e) = pqFits(spark, dir)
+    val q = e.where(col("id") === queryVecId)
+    def adcFor(cents: DataFrame, from: Int): DataFrame =
+      cents.crossJoin(broadcast(q.select(slice(col("v"), from, PqSubDim).as("qv"))))
+        .select(col("cid"),
+          dot(col("qv"), col("qv"))
+            .minus(lit(2.0) * dot(col("qv"), col("cvec")))
+            .plus(dot(col("cvec"), col("cvec"))).as("dsub"))
+    val adc1 = adcFor(fit1.centroids, 1)
+      .withColumnRenamed("cid", "c1").withColumnRenamed("dsub", "d1")
+    val adc2 = adcFor(fit2.centroids, PqSubDim + 1)
+      .withColumnRenamed("cid", "c2").withColumnRenamed("dsub", "d2")
+    fit1.assignments.select(col("id"), col("cid").as("c1"))
+      .join(fit2.assignments.select(col("id"), col("cid").as("c2")), Seq("id"))
+      .join(broadcast(adc1), Seq("c1"))
+      .join(broadcast(adc2), Seq("c2"))
+      .select(col("id"), (col("d1") + col("d2")).as("adc"))
+      .orderBy(asc("adc"), asc("id"))
+      .limit(k)
+      .select(col("id").as("vec_id"),
+        (round(col("adc"), 6) + lit(0.0)).as("adc_dist"))
+  }
+
+  /** Oracle for [[pqKnn]]: BOTH subspace k-means replayed CTE-for-CTE
+    * (the [[kmeansAssignSql]] recipe under `s1`/`s2` prefixes over
+    * sliced vectors), ADC per subspace with the identical dot-expansion
+    * association, codes joined to the lookup table, one add, same total
+    * order. */
+  def pqKnnSql(k: Int = 10, queryVecId: Long = 0L): String = {
+    val h = PqSubDim
+    val d = 2 * PqSubDim
+    def adcCte(name: String, q: String, cents: String): String =
+      s"""$name AS (SELECT c.cid,
+         |  list_dot_product(q.qv,q.qv) - 2*list_dot_product(q.qv,c.cv) + list_dot_product(c.cv,c.cv) AS d
+         |  FROM $cents c CROSS JOIN $q q)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s1pts AS (SELECT vec_id AS id, v[1:$h] AS v FROM e),
+       |s2pts AS (SELECT vec_id AS id, v[${h + 1}:$d] AS v FROM e),
+       |${kmeansCtesSql(PqK, PqIters, "s1")},
+       |${kmeansCtesSql(PqK, PqIters, "s2")},
+       |q1 AS (SELECT v[1:$h] AS qv FROM e WHERE vec_id = $queryVecId),
+       |q2 AS (SELECT v[${h + 1}:$d] AS qv FROM e WHERE vec_id = $queryVecId),
+       |${adcCte("adc1", "q1", s"s1c$PqIters")},
+       |${adcCte("adc2", "q2", s"s2c$PqIters")},
+       |scored AS (
+       |  SELECT a1.id, (x1.d + x2.d) AS adc
+       |  FROM s1afin a1 JOIN s2afin a2 USING (id)
+       |  JOIN adc1 x1 ON a1.cid = x1.cid
+       |  JOIN adc2 x2 ON a2.cid = x2.cid)
+       |SELECT id AS vec_id, round(adc, 6) + 0.0 AS adc_dist
+       |FROM scored ORDER BY adc, id LIMIT $k""".stripMargin
+  }
+
+  /** PQ recall gate vs the exact full-vector l2sq top-k (the per-dtype
+    * recall-table discipline extended to the PQ family). */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame =
+    graft.eval.Eval.recallBp(spark,
+      pqKnn(spark, dir), MetricQueries.knnL2sq(spark, dir), "vec_id", 10)
+
+  /** PQ coarse-to-exact REFINE (the [[knnB1Refine]] pattern on the PQ
+    * family): ADC shortlist of factor·k candidates re-ranked by exact
+    * full-vector l2sq — the table-lookup scan prunes, the exact pass
+    * pays full-dim arithmetic on factor·k rows only.
+    */
+  def pqKnnRefine(spark: SparkSession, dir: String, k: Int = 10,
+      factor: Int = 8, queryVecId: Long = 0L): DataFrame = {
+    val short = pqKnn(spark, dir, k * factor, queryVecId).select(col("vec_id"))
+    val e = emb(spark, dir)
+    val q = broadcast(e.where(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe")))
+    e.join(short, Seq("vec_id")).crossJoin(q)
+      .select(col("vec_id"),
+        graft.functions.Distances.l2sqDistance(col("embedding"), col("qe")).as("raw"))
+      .orderBy(asc("raw"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), (round(col("raw"), 6) + lit(0.0)).as("l2sq_dist"))
+  }
+
+  def pqKnnRefineSql(k: Int = 10, factor: Int = 8, queryVecId: Long = 0L): String = {
+    val raw = "list_dot_product(ee.v, ee.v) - 2.0 * list_dot_product(ee.v, q.qe) + list_dot_product(q.qe, q.qe)"
+    s"""WITH short AS (SELECT vec_id FROM (${pqKnnSql(k * factor, queryVecId)}) s),
+       |ee AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qe FROM ee WHERE vec_id = $queryVecId)
+       |SELECT ee.vec_id, round($raw, 6) + 0.0 AS l2sq_dist
+       |FROM ee JOIN short USING (vec_id) CROSS JOIN q
+       |ORDER BY $raw, ee.vec_id LIMIT $k""".stripMargin
+  }
+
+  /** Refined-PQ recall gate — the b1 0.30 → 1.00 story retold for PQ. */
+  def pqRecallRefine(spark: SparkSession, dir: String): DataFrame =
+    graft.eval.Eval.recallBp(spark,
+      pqKnnRefine(spark, dir), MetricQueries.knnL2sq(spark, dir), "vec_id", 10)
+
+  def pqRecallRefineSql(): String = {
+    val rawEx = "list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, qx.v) + list_dot_product(qx.v, qx.v)"
+    s"""WITH pq AS (SELECT vec_id FROM (${pqKnnRefineSql()}) p),
+       |ee AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |qx AS (SELECT v FROM ee WHERE vec_id = 0),
+       |ex AS (SELECT e.vec_id FROM ee e, qx ORDER BY $rawEx, e.vec_id LIMIT 10)
+       |SELECT 10 AS k, CAST(count(*) * 1000 AS BIGINT) AS recall_bp
+       |FROM pq JOIN ex USING (vec_id)""".stripMargin
+  }
+
+  def pqRecallSql(): String = {
+    // the exact side reuses knnL2sqSql's proven raw form (2.0 literal —
+    // Distances.l2sqDistance's twin; 2 and 2.0 multiply identically, the
+    // consistency is with the pinned twin, not the value)
+    val rawEx = "list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, qx.v) + list_dot_product(qx.v, qx.v)"
+    s"""WITH pq AS (SELECT vec_id FROM (${pqKnnSql()}) p),
+       |ee AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |qx AS (SELECT v FROM ee WHERE vec_id = 0),
+       |ex AS (SELECT e.vec_id FROM ee e, qx ORDER BY $rawEx, e.vec_id LIMIT 10)
+       |SELECT 10 AS k, CAST(count(*) * 1000 AS BIGINT) AS recall_bp
+       |FROM pq JOIN ex USING (vec_id)""".stripMargin
   }
 
   /** Engine semantic join (stable-marriage analog). Batch-synchronous

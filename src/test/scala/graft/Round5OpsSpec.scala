@@ -195,6 +195,41 @@ class Round5OpsSpec extends SparkSpec {
     assert(multi == single)
   }
 
+  test("PQ ADC == l2sq to the reconstructed vector; recall gate sane") {
+    import graft.ops.Similarity
+    val got = Similarity.pqKnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.length == 10)
+    assert(got.forall(_._2 >= 0.0), "negative ADC distance survived rounding")
+    // reconstruct independently: the same deterministic fits re-run
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+    val h = Similarity.PqSubDim
+    val fit1 = graft.index.KMeans.fit(spark,
+      e.select(col("id"), slice(col("v"), 1, h).as("vec")), Similarity.PqK, Similarity.PqIters)
+    val fit2 = graft.index.KMeans.fit(spark,
+      e.select(col("id"), slice(col("v"), h + 1, h).as("vec")), Similarity.PqK, Similarity.PqIters)
+    def codes(f: graft.index.KMeans.Result) =
+      f.assignments.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cents(f: graft.index.KMeans.Result) =
+      f.centroids.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val (k1, k2) = (codes(fit1), codes(fit2))
+    val (c1, c2) = (cents(fit1), cents(fit2))
+    val q = e.where(col("id") === 0L).collect().head.getSeq[Double](1).toArray
+    got.foreach { case (id, adc) =>
+      val rec = c1(k1(id)) ++ c2(k2(id))
+      val l2 = q.indices.map(i => (q(i) - rec(i)) * (q(i) - rec(i))).sum
+      assert(math.abs(adc - l2) <= 1e-6 * math.max(1.0, l2),
+        s"ADC $adc != l2sq-to-reconstruction $l2 for vec $id")
+    }
+    val rec = Similarity.pqRecall(spark, dir).collect().head
+    val bp = rec.getLong(1)
+    assert(bp >= 1000L && bp <= 10000L, s"PQ recall_bp out of range: $bp")
+    val bpRef = Similarity.pqRecallRefine(spark, dir).collect().head.getLong(1)
+    assert(bpRef >= bp, s"refine worsened recall: $bpRef < $bp")
+    assert(bpRef >= 5000L, s"refined PQ recall too low: $bpRef")
+  }
+
   test("HLL cardinality sketch: deterministic and within 25% of exact") {
     val r1 = Fulltext.ftHllCard(spark, dir).collect().head
     val r2 = Fulltext.ftHllCard(spark, dir).collect().head
