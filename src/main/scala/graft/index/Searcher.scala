@@ -1461,6 +1461,58 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
   /** Exact search convenience (full scoring, no pruning). */
   def searchExact(query: String, k: Int): DataFrame = search(query, k, exact = true)
 
+  /** Every matched doc fully scored, NO top-k bound and NO global order —
+    * the retrieval-side input for grouped/collapsed operators (the
+    * Elasticsearch `collapse` / grouped-top-k shape), where the best hit
+    * of a small group can sit arbitrarily deep in the global ranking and
+    * a k-bounded retrieval would lose it.
+    *
+    * Scale shape: identical planning to [[search]] (one pruned dictionary
+    * read, one term-IN + bucket-IN segments scan); per-bucket state is
+    * the matched-doc set, bounded by the bucket-width geometry (≤ 2²⁰
+    * docs) like the TAAT accumulator; the output frame is unordered and
+    * meant to be AGGREGATED (argmax per group, partial map-side), never
+    * globally sorted. Scores are the identical sorted-term left fold as
+    * [[search]] in exact mode, so a collapsed hit's double equals the
+    * disjunctive score for that doc.
+    */
+  def scoreAllMatched(query: String): DataFrame = {
+    val qTerms = Tokenizer.tokenize(query).distinct.sorted
+    val local = dictRows(qTerms)
+    val dictHits = qTerms
+      .filter(t => local.get(t).exists(_.df > 0L))
+      .map(t => (t, Bm25.idf(local(t).df, stats.nDocs)))
+    if (dictHits.isEmpty)
+      return spark.emptyDataset[Hit].toDF("doc_id", "score")
+    val termList = dictHits.map(_._1).toSeq
+    val idfByTerm = dictHits.toMap
+    val touchedBuckets = termList
+      .flatMap(t => local.get(t).map(_.buckets.toSeq).getOrElse(Seq.empty))
+      .distinct
+    val postings = spark.read.parquet(layout.segments).as[PostingRow]
+      .where($"term".isin(termList: _*) && $"bucket".isin(touchedBuckets: _*))
+    val doclens = doclensDS.where($"bucket".isin(touchedBuckets: _*))
+    val idfB = spark.sparkContext.broadcast(idfByTerm)
+    val avgdlLocal = stats.avgdl
+    postings
+      .groupByKey(_.bucket)
+      .cogroup(doclens.groupByKey(_.bucket)) { (bucket, posts, lens) =>
+        val postsArr = posts.toArray
+        val lensArr = lens.toArray
+        if (postsArr.isEmpty) Iterator.empty
+        else if (lensArr.isEmpty)
+          throw new IllegalStateException(
+            s"index invariant violated: bucket $bucket has postings but no doclens row ($root)")
+        else
+          // k = MaxValue keeps every scored doc: TopK's heap grows
+          // lazily, so memory is O(matched-in-bucket) ≤ bucket width
+          Searcher.wandBucket(
+            postsArr, lensArr.head, idfB.value, avgdlLocal, ubScale = 1.0,
+            k = Int.MaxValue, exact = true, allow = None)
+      }
+      .toDF("doc_id", "score")
+  }
+
   /** SEARCH-AFTER deep pagination (the Lucene `searchAfter` analog; the
     * reference's paging surface is `export_keys`' offset/limit,
     * /root/reference/python/lib.cpp:320-340): the next k hits strictly

@@ -119,10 +119,12 @@ object Fulltext {
   def bm25TopKSql(
       queryTerms: Seq[String] = RefQuery,
       k: Int = K,
-      langFilter: Option[String] = None): String = {
+      langFilter: Option[String] = None,
+      docWhere: Option[String] = None): String = {
     val terms = queryTerms.distinct.sorted
     val termList = terms.map(t => s"'$t'").mkString(", ")
-    val where = langFilter.map(l => s"WHERE lang = '$l'").getOrElse("")
+    val preds = langFilter.map(l => s"lang = '$l'").toSeq ++ docWhere.toSeq
+    val where = if (preds.isEmpty) "" else preds.mkString("WHERE ", " AND ", "")
     s"""WITH base AS (SELECT * FROM documents $where),
        |tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM base),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -1625,7 +1627,14 @@ object Fulltext {
     * a later frequency-only caller reuses the same roots untouched).
     */
   private def mgenSearcher(spark: SparkSession, dir: String,
-      positional: Boolean = false): graft.index.MultiSearcher = {
+      positional: Boolean = false): graft.index.MultiSearcher =
+    new graft.index.MultiSearcher(spark, mgenRoots(spark, dir, positional))
+
+  /** The two generation roots themselves — also the snapshot handles for
+    * [[engTimeTravel]] (a generation is an immutable snapshot boundary).
+    */
+  private def mgenRoots(spark: SparkSession, dir: String,
+      positional: Boolean = false): Seq[String] = {
     val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
     val tmp = sys.props("java.io.tmpdir")
     val d = docs(spark, dir)
@@ -1641,7 +1650,7 @@ object Fulltext {
       IndexBuilder.buildPositions(spark, d.where(col("doc_id") % 2 === 1), rootB,
         idCol = "doc_id", textCol = "text")
     }
-    new graft.index.MultiSearcher(spark, Seq(rootA, rootB))
+    Seq(rootA, rootB)
   }
 
   // ------------------------------------------------------------------
@@ -2100,4 +2109,95 @@ object Fulltext {
        |  CAST((SELECT count(DISTINCT term) FROM tok) AS BIGINT) AS exact_distinct
        |FROM est""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Round-5 third wave: field-collapsed search, snapshot time travel
+  // ------------------------------------------------------------------
+
+  /** FIELD-COLLAPSED search (the Elasticsearch `collapse` shape): the
+    * single best hit per `lang` group for the fixed disjunctive query,
+    * groups ranked by their best hit's score. A k-bounded retrieval
+    * can't feed this — a small group's best hit may sit arbitrarily deep
+    * globally — so the input is [[graft.index.Searcher.scoreAllMatched]]
+    * (every matched doc scored, per-bucket state bounded by bucket
+    * width), joined to the corpus `lang` column (columnar-pruned: the
+    * scan reads doc_id + lang only), then collapsed by ONE
+    * partial-aggregable argmax per group: `min(struct(-score, doc_id))`
+    * — `-x` is exact, so the lexicographic struct min IS the
+    * (score desc, doc_id asc) rule, and the shuffle carries one struct
+    * per (partition, group) instead of every hit. The final rank window
+    * orders only the ≤ |groups| collapsed rows.
+    *
+    * Determinism: scores are the engine's sorted-term left fold
+    * (bit-identical to the oracle's chained-MAX form), the argmax and
+    * the group ranking compare raw doubles identically in both engines,
+    * and the output rounds at 4 dp like every BM25 entry.
+    */
+  def engCollapse(spark: SparkSession, dir: String): DataFrame = {
+    val scored = indexFor(spark, dir).scoreAllMatched(RefQuery.mkString(" "))
+    val langs = docs(spark, dir).select(col("doc_id"), col("lang"))
+    val best = scored.join(langs, "doc_id")
+      .select(col("lang"),
+        struct((-col("score")).as("ns"), col("doc_id").as("doc_id")).as("sd"))
+      .groupBy(col("lang"))
+      .agg(min(col("sd")).as("b"), count(lit(1)).as("n_hits"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("b.ns"), col("lang"))
+    best.select(
+      row_number().over(w).as("rank"),
+      col("lang"), col("b.doc_id").as("doc_id"),
+      round(-col("b.ns"), 4).as("score"), col("n_hits"))
+      .orderBy(col("rank"))
+  }
+
+  /** Oracle for [[engCollapse]]: the full deterministic-fold score set
+    * (no LIMIT), per-lang best via a (score_raw desc, doc_id) window,
+    * group rank over the collapsed rows.
+    */
+  def collapseSql(queryTerms: Seq[String] = RefQuery): String = {
+    val terms = queryTerms.distinct.sorted
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+       |              CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+       |dfq AS (SELECT term, count(*) AS df FROM tf WHERE term IN ($termList) GROUP BY 1),
+       |scores AS (
+       |  SELECT tf.doc_id, ${foldScoreSqlAny(terms)} AS score_raw
+       |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       |  WHERE tf.term IN ($termList)
+       |  GROUP BY tf.doc_id),
+       |g AS (
+       |  SELECT d.lang, s.doc_id, s.score_raw,
+       |    row_number() OVER (PARTITION BY d.lang ORDER BY s.score_raw DESC, s.doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY d.lang) AS n_hits
+       |  FROM scores s JOIN documents d USING (doc_id))
+       |SELECT CAST(row_number() OVER (ORDER BY score_raw DESC, lang) AS INT) AS rank,
+       |  lang, doc_id, round(score_raw, 4) AS score, CAST(n_hits AS BIGINT) AS n_hits
+       |FROM g WHERE rn = 1
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** SNAPSHOT (time-travel) search: generations are immutable snapshot
+    * boundaries (the Iceberg snapshot-read shape the north rule's input
+    * model implies — each LSM generation is a committed, manifest-listed
+    * snapshot). Querying "as of generation A" searches ONLY generation
+    * A's index with generation-LOCAL statistics — exactly the ranking a
+    * user saw before generation B was ingested, reproducible forever
+    * because generations are append-only. Contrast [[engBm25MultiGen]]:
+    * the CURRENT view searches every generation under shared global
+    * stats.
+    */
+  def engTimeTravel(spark: SparkSession, dir: String): DataFrame =
+    new Searcher(spark, mgenRoots(spark, dir).head)
+      .search(RefQuery.mkString(" "), K)
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+
+  /** Oracle for [[engTimeTravel]]: the standard BM25 oracle over the
+    * generation-A half of the corpus (even doc ids), statistics included
+    * — a snapshot's ranking is self-contained.
+    */
+  def timeTravelSql(): String =
+    bm25TopKSql(docWhere = Some("doc_id % 2 = 0"))
 }

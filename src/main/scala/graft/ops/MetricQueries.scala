@@ -305,4 +305,58 @@ object MetricQueries {
        |  CASE WHEN total = 0 THEN 0.0
        |       ELSE 1.0 - 2.0 * CAST(inter AS DOUBLE) / CAST(total AS DOUBLE) END AS sorensen_dist
        |FROM c ORDER BY left_id""".stripMargin
+
+  // --------------------------------------------------- geo radius search
+
+  /** Geo radius: 2⁻⁴ radians is an exact binary fraction — both engines
+    * compare the identical haversine double against the identical
+    * literal. */
+  final val GeoRadiusThreshold = 0.0625
+  final val GeoRadiusCap = 50
+
+  /** GEO RADIUS search ("points within r of here", the geo-distance
+    * query shape next to [[haversinePairs]]'s pairwise form): every
+    * point whose great-circle (haversine) distance to the probe point
+    * is under the radius, nearest-first, capped. Coordinates read as
+    * (lat, lon) radians from the first two embedding components, like
+    * the reference's haversine metric over 2-d inputs
+    * (/root/reference/include/usearch/index_plugins.hpp:1530-1558).
+    *
+    * Plan: one broadcast probe row, one scan computing the distance,
+    * scan-level raw-double filter, bounded TakeOrderedAndProject.
+    */
+  def geoRadius(spark: SparkSession, dir: String,
+      threshold: Double = GeoRadiusThreshold, cap: Int = GeoRadiusCap,
+      queryVecId: Long = 0L): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"),
+      element_at(col("embedding"), 1).cast("double").as("lat"),
+      element_at(col("embedding"), 2).cast("double").as("lon"))
+    val q = broadcast(e.where(col("vec_id") === queryVecId)
+      .select(col("lat").as("lat0"), col("lon").as("lon0")))
+    e.where(col("vec_id") =!= queryVecId).crossJoin(q)
+      .select(col("vec_id"),
+        Distances.haversine(col("lat"), col("lon"), col("lat0"), col("lon0")).as("hd_raw"))
+      .where(col("hd_raw") < lit(threshold))
+      .orderBy(asc("hd_raw"), asc("vec_id"))
+      .limit(cap)
+      .select(col("vec_id"), (round(col("hd_raw"), 6) + lit(0.0)).as("hav_dist"))
+  }
+
+  def geoRadiusSql(threshold: Double = GeoRadiusThreshold, cap: Int = GeoRadiusCap,
+      queryVecId: Long = 0L): String = {
+    // deltas as (second − first) to mirror Distances.haversine's argument
+    // order exactly — sin's odd symmetry is NOT a bitwise guarantee
+    val sdlat = "sin((lat0 - lat) / 2.0)"
+    val sdlon = "sin((lon0 - lon) / 2.0)"
+    val h = s"$sdlat * $sdlat + cos(lat) * cos(lat0) * ($sdlon * $sdlon)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS lat,
+       |                  CAST(embedding[2] AS DOUBLE) AS lon FROM embeddings),
+       |q AS (SELECT lat AS lat0, lon AS lon0 FROM e WHERE vec_id = $queryVecId),
+       |d AS (SELECT vec_id, 2.0 * asin(sqrt($h)) AS hd_raw
+       |      FROM e, q WHERE vec_id <> $queryVecId)
+       |SELECT vec_id, round(hd_raw, 6) + 0.0 AS hav_dist
+       |FROM d WHERE hd_raw < CAST('$threshold' AS DOUBLE)
+       |ORDER BY hd_raw, vec_id
+       |LIMIT $cap""".stripMargin
+  }
 }

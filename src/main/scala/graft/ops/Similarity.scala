@@ -1319,4 +1319,304 @@ object Similarity {
        |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id) x
        |WHERE cos_raw >= $threshold
        |ORDER BY left_id, right_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Round-5 third wave: radius search, kNN outlier scores, MMR
+  // ------------------------------------------------------------------
+
+  /** Radius threshold: ¼ is an exact binary fraction, so both engines'
+    * `cos_raw > 0.25` compare the identical double against the identical
+    * literal — the filter set is exact, never a tolerance. */
+  final val RadiusThreshold = 0.25
+  /** Output cap: a radius query against a dense region is unbounded in
+    * principle; the cap keeps the result the usual bounded top-k shape
+    * (TakeOrderedAndProject) at any corpus size. */
+  final val RadiusCap = 100
+
+  /** RADIUS (range) search: every vector within the cosine-similarity
+    * radius of the query (`cos > 0.25`), nearest-first, capped. The
+    * vector-database range-search counterpart of the reference's
+    * distance surface: where [[knnExact]] fixes the COUNT and reports
+    * distances, this fixes the DISTANCE and reports the membership —
+    * the dedup/recall tooling shape ("everything closer than r").
+    *
+    * Plan: one broadcast of the query row, one scan computing the
+    * codegen'd dot product, a scan-level filter on the raw double
+    * (identical in both engines — 0.25 is exact binary), bounded
+    * TakeOrderedAndProject merge. Nothing materializes beyond the cap.
+    */
+  def radiusSearch(spark: SparkSession, dir: String,
+      threshold: Double = RadiusThreshold, cap: Int = RadiusCap,
+      queryVecId: Long = 0L): DataFrame = {
+    val e = emb(spark, dir)
+    val q = broadcast(e.where(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_embedding")))
+    e.where(col("vec_id") =!= queryVecId).crossJoin(q)
+      .select(col("vec_id"), cosine(col("embedding"), col("q_embedding")).as("cos_raw"))
+      .where(col("cos_raw") > lit(threshold))
+      .orderBy(desc("cos_raw"), asc("vec_id"))
+      .limit(cap)
+      .select(col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
+  }
+
+  def radiusSearchSql(threshold: Double = RadiusThreshold, cap: Int = RadiusCap,
+      queryVecId: Long = 0L): String =
+    s"""WITH q AS (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = $queryVecId)
+       |SELECT vec_id, round(cos_raw, 6) AS cos_sim FROM (
+       |  SELECT vec_id, ${cosineSql("embedding", "q_embedding")} AS cos_raw
+       |  FROM embeddings, q WHERE vec_id <> $queryVecId) x
+       |WHERE cos_raw > CAST('$threshold' AS DOUBLE)
+       |ORDER BY cos_raw DESC, vec_id
+       |LIMIT $cap""".stripMargin
+
+  /** kNN OUTLIER scores (the classic k-nearest-neighbor anomaly
+    * statistic): for each probe vector, the mean cosine distance to its
+    * `k` nearest OTHER vectors — small means "deep inside a cluster",
+    * large means "isolated". The curation-side use of the distance
+    * surface: score a sample, quarantine the tail.
+    *
+    * Scale shape: probes broadcast once; per-probe nearest-k rides
+    * [[graft.functions.TopKAgg]] (map-side bounded partials — no window
+    * over the full cross product); the mean folds the top-k array in its
+    * own sorted (dist asc, id asc) order, the same
+    * aggregate-over-sorted-list discipline as k-means, then divides by
+    * the exact-binary k. `round(·,6) + 0.0` normalizes the −0.0 a
+    * near-duplicate's 1−cos can produce.
+    */
+  def knnOutlier(spark: SparkSession, dir: String,
+      nProbes: Int = 20, k: Int = 5): DataFrame = {
+    val e = emb(spark, dir)
+    val q = broadcast(e.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("qv")))
+    e.crossJoin(q).where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (lit(1.0) - cosine(col("embedding"), col("qv"))).as("dist_raw"))
+      .groupBy(col("probe_id"))
+      .agg(graft.functions.TopKAgg.least(col("dist_raw"), col("vec_id"), k).as("nn"))
+      .select(col("probe_id"),
+        (round(aggregate(col("nn"), lit(0.0), (acc, h) => acc + h.getField("score"))
+          / lit(k.toDouble), 6) + lit(0.0)).as("knn_dist"))
+      .orderBy(col("probe_id"))
+  }
+
+  /** Oracle: quadratic probe×member distances, top-k per probe by the
+    * same (dist asc, id asc) order, summed as an ordered list fold
+    * (matches the Spark fold over TopKAgg's sorted output), one exact
+    * division. */
+  def knnOutlierSql(nProbes: Int = 20, k: Int = 5): String =
+    s"""WITH q AS (SELECT vec_id AS probe_id, embedding AS qv FROM embeddings WHERE vec_id < $nProbes),
+       |d AS (SELECT q.probe_id, e.vec_id,
+       |        1.0 - ${cosineSql("e.embedding", "q.qv")} AS dist_raw,
+       |        row_number() OVER (PARTITION BY q.probe_id
+       |          ORDER BY 1.0 - ${cosineSql("e.embedding", "q.qv")}, e.vec_id) AS rn
+       |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.probe_id)
+       |SELECT probe_id,
+       |  round(list_aggregate(list(dist_raw ORDER BY dist_raw, vec_id), 'sum')
+       |        / CAST($k AS DOUBLE), 6) + 0.0 AS knn_dist
+       |FROM d WHERE rn <= $k
+       |GROUP BY probe_id
+       |ORDER BY probe_id""".stripMargin
+
+  /** Sample bound for the quadratic medoid/histogram entries. */
+  final val MedoidSample = 100
+  final val MedoidTop = 5
+
+  /** MEDOID: the sample member minimizing the TOTAL cosine distance to
+    * every other member — the data's most central actual vector (the
+    * exact counterpart of a k-means centroid, which need not be a
+    * member; the reference's clustering surface returns member keys,
+    * index.hpp:3092-3125). Reported as the top-[[MedoidTop]] most
+    * central members.
+    *
+    * Cross-engine float discipline: per-pair distances quantize to
+    * integer MICROS (`floor(dist·10⁶)` of the identical raw double —
+    * floor, not round: CAST rounds in DuckDB but truncates in Spark),
+    * so the per-candidate total is an ORDER-FREE integer sum — no
+    * cross-doc float accumulation, the same rule as the engine's BM25
+    * invariant. Selection ranks (total asc, id asc): integers only.
+    *
+    * Scale: quadratic over the bounded sample BY DESIGN (like
+    * [[Dedup.ngramJaccard]]'s labeled quadratic twin) — the scale path
+    * for "central member of a big cluster" is per-cell medoids over IVF
+    * assignments, each cell a bounded sample of this same shape.
+    */
+  def medoid(spark: SparkSession, dir: String,
+      sample: Int = MedoidSample, top: Int = MedoidTop): DataFrame = {
+    val e = emb(spark, dir).where(col("vec_id") < sample)
+      .select(col("vec_id"), col("embedding"))
+    val pairs = e.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("embedding").as("b")))
+      .where(col("a_id") =!= col("b_id"))
+    val totals = pairs
+      .select(col("a_id"),
+        floor((lit(1.0) - cosine(col("a"), col("b"))) * lit(1000000.0))
+          .cast("long").as("dmicros"))
+      .groupBy(col("a_id"))
+      .agg(sum(col("dmicros")).as("total_micros"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(asc("total_micros"), asc("a_id"))
+    totals.orderBy(asc("total_micros"), asc("a_id")).limit(top)
+      .select(row_number().over(w).as("rank"), col("a_id").as("vec_id"),
+        col("total_micros"))
+      .orderBy(col("rank"))
+  }
+
+  def medoidSql(sample: Int = MedoidSample, top: Int = MedoidTop): String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $sample),
+       |d AS (SELECT a.vec_id AS a_id,
+       |        CAST(floor((1.0 - ${cosineSql("a.embedding", "b.embedding")}) * 1000000.0) AS BIGINT) AS dmicros
+       |      FROM e a, e b WHERE a.vec_id <> b.vec_id),
+       |t AS (SELECT a_id, CAST(sum(dmicros) AS BIGINT) AS total_micros FROM d GROUP BY 1)
+       |SELECT CAST(row_number() OVER (ORDER BY total_micros, a_id) AS INT) AS rank,
+       |  a_id AS vec_id, total_micros
+       |FROM t ORDER BY total_micros, a_id LIMIT $top""".stripMargin
+
+  /** PAIRWISE-DISTANCE HISTOGRAM over the bounded sample: counts of
+    * unordered pairs per cosine-distance decile bucket
+    * (`floor(dist·10)`, floor of the identical raw double) — the
+    * calibration tool behind every threshold in the dedup family
+    * ("where does the near-dup mass sit relative to the background?").
+    * Integer buckets, integer counts — nothing float crosses engines.
+    */
+  def distHist(spark: SparkSession, dir: String,
+      sample: Int = MedoidSample): DataFrame = {
+    val e = emb(spark, dir).where(col("vec_id") < sample)
+      .select(col("vec_id"), col("embedding"))
+    e.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("embedding").as("b")))
+      .where(col("a_id") < col("b_id"))
+      .select(floor((lit(1.0) - cosine(col("a"), col("b"))) * lit(10.0))
+        .cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("bucket"))
+  }
+
+  def distHistSql(sample: Int = MedoidSample): String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $sample),
+       |d AS (SELECT CAST(floor((1.0 - ${cosineSql("a.embedding", "b.embedding")}) * 10.0) AS BIGINT) AS bucket
+       |      FROM e a, e b WHERE a.vec_id < b.vec_id)
+       |SELECT bucket, count(*) AS n_pairs
+       |FROM d GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** MMR trade-off λ = ½ — an exact binary fraction, so both engines'
+    * `0.5·rel − 0.5·red` are the same IEEE ops. */
+  final val MmrLambda = 0.5
+  final val MmrShortlist = 20
+  final val MmrK = 5
+
+  /** MAXIMAL-MARGINAL-RELEVANCE diversified top-k (Carbonell & Goldstein
+    * 1998): greedily pick the candidate maximizing
+    * λ·cos(q,c) − (1−λ)·max_{s∈selected} cos(c,s) — relevance minus
+    * redundancy — the standard diversification of a similarity search
+    * result (near-duplicate hits stop crowding the page). Rank 1 is pure
+    * relevance (the max term over an empty set contributes nothing).
+    *
+    * Scale shape: the shortlist is the DISTRIBUTED exact top-N
+    * (TakeOrderedAndProject over the full corpus); the greedy phase then
+    * runs on those N = 20 driver-resident rows — the same O(k)-driver-
+    * state pattern as BatchCluster, because MMR's selection is
+    * inherently sequential in k and its working set IS the shortlist.
+    * Every cosine is the same left-fold double arithmetic as
+    * [[cosineSql]]; the redundancy max over ≤ k−1 doubles is order-free
+    * exact; argmax ties break vec_id asc. The SQL twin unrolls the k
+    * selection steps as CTEs over the identical shortlist.
+    */
+  def mmrKnn(spark: SparkSession, dir: String, k: Int = MmrK,
+      shortlist: Int = MmrShortlist, queryVecId: Long = 0L): DataFrame = {
+    val e = emb(spark, dir)
+    val q = broadcast(e.where(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv")))
+    val rows = e.where(col("vec_id") =!= queryVecId).crossJoin(q)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        cosine(col("embedding"), col("qv")).as("cosq"))
+      .orderBy(desc("cosq"), asc("vec_id"))
+      .limit(shortlist)
+      .collect()
+    // driver-side greedy over the shortlist (same fold order as
+    // list_dot_product: left-to-right elementwise)
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    final case class Cand(id: Long, v: Array[Double], norm: Double, cosq: Double)
+    val cands = rows.map { r =>
+      val v = r.getSeq[Double](1).toArray
+      Cand(r.getLong(0), v, math.sqrt(dotD(v, v)), r.getDouble(2))
+    }.toBuffer
+    val lambda = MmrLambda
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Cand]
+    var rank = 1
+    while (rank <= k && cands.nonEmpty) {
+      // candidate score: rank 1 = relevance; later = λ·rel − (1−λ)·max-sim
+      def scoreOf(c: Cand): Double =
+        if (selected.isEmpty) c.cosq
+        else {
+          var mx = Double.NegativeInfinity
+          selected.foreach { s =>
+            val cs = dotD(c.v, s.v) / (c.norm * s.norm)
+            if (cs > mx) mx = cs
+          }
+          lambda * c.cosq - (1.0 - lambda) * mx
+        }
+      var bi = 0; var bs = scoreOf(cands(0))
+      var i = 1
+      while (i < cands.length) {
+        val s = scoreOf(cands(i))
+        // ties break vec_id asc: candidates are already id-unsorted, so
+        // compare (score desc, id asc) explicitly
+        if (s > bs || (s == bs && cands(i).id < cands(bi).id)) { bi = i; bs = s }
+        i += 1
+      }
+      picked += ((rank, cands(bi).id, bs))
+      selected += cands(bi)
+      cands.remove(bi)
+      rank += 1
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("rank", "vec_id", "mmr_raw")
+      .select(col("rank"), col("vec_id"),
+        (round(col("mmr_raw"), 6) + lit(0.0)).as("mmr_score"))
+      .orderBy(col("rank"))
+  }
+
+  /** Oracle for [[mmrKnn]]: the same shortlist CTE, then the k greedy
+    * selections unrolled — step t cross-joins the ≤ t−1 single-row
+    * selected CTEs, `greatest(...)` is the order-free redundancy max,
+    * λ re-literaled via CAST('0.5' AS DOUBLE). */
+  def mmrKnnSql(k: Int = MmrK, shortlist: Int = MmrShortlist,
+      queryVecId: Long = 0L): String = {
+    val lam = s"CAST('$MmrLambda' AS DOUBLE)"
+    val steps = (2 to k).map { t =>
+      val prev = (1 until t).map(j => s"s$j").toSeq
+      val mx =
+        if (prev.length == 1) cosineSql("c.v", s"${prev.head}.v")
+        else prev.map(p => cosineSql("c.v", s"$p.v")).mkString("greatest(", ", ", ")")
+      val notIn = prev.map(p => s"c.vec_id <> $p.vec_id").mkString(" AND ")
+      s"""s$t AS (
+         |  SELECT c.vec_id, c.v, c.cosq,
+         |    $lam * c.cosq - (1.0 - $lam) * ($mx) AS mmr
+         |  FROM sl c, ${prev.mkString(", ")}
+         |  WHERE $notIn
+         |  ORDER BY mmr DESC, c.vec_id LIMIT 1)"""
+    }
+    val outs = (1 to k).map { t =>
+      val scoreExpr = if (t == 1) "cosq" else "mmr"
+      s"SELECT $t AS rank, vec_id, round($scoreExpr, 6) + 0.0 AS mmr_score FROM s$t"
+    }
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $queryVecId),
+       |sl AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    ${cosineSql("embedding", "qv")} AS cosq
+       |  FROM embeddings, q WHERE vec_id <> $queryVecId
+       |  ORDER BY cosq DESC, vec_id LIMIT $shortlist),
+       |s1 AS (SELECT vec_id, v, cosq FROM sl ORDER BY cosq DESC, vec_id LIMIT 1),
+       |${steps.mkString(",\n")}
+       |SELECT CAST(rank AS INT) AS rank, vec_id, mmr_score FROM (
+       |${outs.mkString("\nUNION ALL\n")}
+       |) u ORDER BY rank""".stripMargin
+  }
 }

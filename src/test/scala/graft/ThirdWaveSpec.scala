@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Fulltext, Similarity}
+import graft.oracle.ExactScorer
+
+/** Round-5 third-wave operators: score-all-matched vs the exact top-k
+  * path (bit-identical doubles), field collapse vs a brute-force group
+  * argmax, snapshot time travel vs a generation-local in-memory oracle,
+  * radius search vs a brute filter, kNN outlier scores and MMR vs
+  * independent driver-side recomputations.
+  */
+class ThirdWaveSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val query = Fulltext.RefQuery.mkString(" ")
+
+  private def docsRows: IndexedSeq[(Long, String, String)] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toIndexedSeq
+
+  private def embRows: IndexedSeq[(Long, Array[Double])] =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray)).toIndexedSeq
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    def dot(x: Array[Double], y: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i) * y(i); i += 1 }
+      s
+    }
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+  }
+
+  test("scoreAllMatched: exactly the matched docs, scores bit-identical to exact search") {
+    val s = Fulltext.indexFor(spark, dir)
+    val all = s.scoreAllMatched(query).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val oracle = new ExactScorer(docsRows.map(d => (d._1, d._2)))
+    val expect = oracle.search(query, Int.MaxValue).toMap
+    assert(all.keySet == expect.keySet, "matched-doc set differs from oracle")
+    all.foreach { case (id, sc) =>
+      assert(sc == expect(id), s"doc $id score $sc != oracle ${expect(id)}")
+    }
+    // and the exact top-k path is a prefix of it under the total order
+    val topk = s.searchExact(query, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val sorted = all.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(10)
+    assert(topk.toSeq == sorted, "searchExact != sorted prefix of scoreAllMatched")
+  }
+
+  test("field collapse == brute-force per-lang argmax over the full scored set") {
+    val got = Fulltext.engCollapse(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val oracle = new ExactScorer(docsRows.map(d => (d._1, d._2)))
+    val langOf = docsRows.map(d => d._1 -> d._3).toMap
+    val scored = oracle.search(query, Int.MaxValue)
+    val byLang = scored.groupBy { case (id, _) => langOf(id) }
+    val expect = byLang.toSeq.map { case (lang, hits) =>
+      val (bid, bsc) = hits.minBy { case (id, sc) => (-sc, id) }
+      (lang, bid, BigDecimal(bsc).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        hits.length.toLong)
+    }.sortBy { case (lang, bid, bsc, _) => (-bsc, lang) }
+      .zipWithIndex.map { case ((lang, bid, bsc, n), i) => (i + 1, lang, bid, bsc, n) }
+    assert(got.toSeq == expect, s"collapse mismatch:\n${got.toSeq}\nvs\n$expect")
+    assert(got.length > 1, "single group — grouping is vacuous on this fixture")
+  }
+
+  test("time travel: snapshot ranking uses generation-local statistics") {
+    val got = Fulltext.engTimeTravel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val evenDocs = docsRows.filter(_._1 % 2 == 0).map(d => (d._1, d._2))
+    val oracle = new ExactScorer(evenDocs)
+    val expect = oracle.search(query, Fulltext.K).map { case (id, sc) =>
+      (id, BigDecimal(sc).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq
+    assert(got == expect, "snapshot search != generation-local oracle")
+    // the snapshot ranking must NOT equal the current multi-generation
+    // view's — otherwise the generation-local statistics are vacuous
+    val current = Fulltext.engBm25MultiGen(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got != current, "snapshot == current view — stats shift is vacuous")
+  }
+
+  test("radius search == brute-force threshold filter, nearest-first, capped") {
+    val got = Similarity.radiusSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val e = embRows
+    val q = e.find(_._1 == 0L).get._2
+    val expect = e.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v, q)) }
+      .filter(_._2 > Similarity.RadiusThreshold)
+      .sortBy { case (id, c) => (-c, id) }
+      .take(Similarity.RadiusCap)
+      .map { case (id, c) =>
+        (id, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    assert(got == expect)
+    assert(got.nonEmpty, "no radius hits — threshold is vacuous on this fixture")
+    assert(got.map(_._2).forall(_ > Similarity.RadiusThreshold - 1e-6))
+  }
+
+  test("kNN outlier scores == brute-force mean of the 5 nearest distances") {
+    val got = Similarity.knnOutlier(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val e = embRows
+    val expect = e.filter(_._1 < 20L).sortBy(_._1).map { case (pid, pv) =>
+      val dists = e.filter(_._1 != pid)
+        .map { case (id, v) => (1.0 - cos(v, pv), id) }
+        .sortBy { case (d, id) => (d, id) }
+        .take(5)
+      // same fold order as the engine: (dist asc, id asc), left to right
+      val mean = dists.map(_._1).foldLeft(0.0)(_ + _) / 5.0
+      (pid, BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+    }
+    assert(got == expect)
+    // sanity: scores vary (an isolated probe scores above a clustered one)
+    assert(got.map(_._2).distinct.length > 1, "all outlier scores equal — vacuous")
+  }
+
+  test("MMR: rank 1 is pure relevance; greedy equals an independent reimplementation") {
+    val got = Similarity.mmrKnn(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val e = embRows
+    val q = e.find(_._1 == 0L).get._2
+    // independent: precompute the full shortlist cosine matrix, then greedy
+    val sl = e.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v, cos(v, q)) }
+      .sortBy { case (id, _, c) => (-c, id) }
+      .take(Similarity.MmrShortlist)
+    val simM = sl.map(a => sl.map(b => cos(a._2, b._2)))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val expect = (1 to Similarity.MmrK).map { rank =>
+      val remaining = sl.indices.filterNot(selected.contains)
+      val best = remaining.minBy { i =>
+        val sc =
+          if (selected.isEmpty) sl(i)._3
+          else 0.5 * sl(i)._3 - 0.5 * selected.map(j => simM(i)(j)).max
+        (-sc, sl(i)._1)
+      }
+      val sc =
+        if (selected.isEmpty) sl(best)._3
+        else 0.5 * sl(best)._3 - 0.5 * selected.map(j => simM(best)(j)).max
+      selected += best
+      (rank, sl(best)._1,
+        BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+    }
+    assert(got == expect)
+    assert(got.length == Similarity.MmrK)
+    assert(got.map(_._2).distinct.length == Similarity.MmrK, "duplicate picks")
+  }
+
+  test("geo radius == brute-force haversine filter, nearest-first") {
+    import graft.ops.MetricQueries
+    val got = MetricQueries.geoRadius(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val e = embRows
+    val (lat0, lon0) = { val q = e.find(_._1 == 0L).get._2; (q(0), q(1)) }
+    def hav(lat: Double, lon: Double): Double = {
+      val sdlat = math.sin((lat0 - lat) / 2.0)
+      val sdlon = math.sin((lon0 - lon) / 2.0)
+      2.0 * math.asin(math.sqrt(
+        sdlat * sdlat + math.cos(lat) * math.cos(lat0) * (sdlon * sdlon)))
+    }
+    val expect = e.filter(_._1 != 0L)
+      .map { case (id, v) => (id, hav(v(0), v(1))) }
+      .filter(_._2 < MetricQueries.GeoRadiusThreshold)
+      .sortBy { case (id, d) => (d, id) }
+      .take(MetricQueries.GeoRadiusCap)
+      .map { case (id, d) =>
+        (id, BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+      }
+    assert(got == expect)
+    assert(got.nonEmpty, "no geo hits — radius is vacuous on this fixture")
+  }
+
+  test("medoid == brute-force total-integer-micros argmin over the sample") {
+    val got = Similarity.medoid(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val e = embRows.filter(_._1 < Similarity.MedoidSample)
+    val expect = e.map { case (aid, av) =>
+      val total = e.filter(_._1 != aid).map { case (_, bv) =>
+        math.floor((1.0 - cos(av, bv)) * 1000000.0).toLong
+      }.sum
+      (aid, total)
+    }.sortBy { case (id, t) => (t, id) }
+      .take(Similarity.MedoidTop)
+      .zipWithIndex.map { case ((id, t), i) => (i + 1, id, t) }
+    assert(got == expect)
+    // the medoid really is the argmin: no other sample member beats rank 1
+    assert(expect.head._3 <= expect.last._3)
+  }
+
+  test("distance histogram == brute-force decile-bucket pair counts") {
+    val got = Similarity.distHist(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val e = embRows.filter(_._1 < Similarity.MedoidSample)
+    val expect = (for {
+      (aid, av) <- e; (bid, bv) <- e if aid < bid
+    } yield math.floor((1.0 - cos(av, bv)) * 10.0).toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy(_._1)
+    assert(got == expect)
+    val n = e.length.toLong
+    assert(got.map(_._2).sum == n * (n - 1) / 2, "histogram loses pairs")
+  }
+}
