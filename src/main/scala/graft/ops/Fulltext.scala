@@ -2179,6 +2179,56 @@ object Fulltext {
        |ORDER BY rank""".stripMargin
   }
 
+  final val CollapseTopN = 3
+
+  /** GROUPED TOP-N search ([[engCollapse]]'s inner-hits form): the best
+    * [[CollapseTopN]] hits per `lang` group — the Elasticsearch
+    * `collapse.inner_hits` shape. Same score-all-matched input; the
+    * per-group top-N is ONE bounded [[graft.functions.TopKAgg]]
+    * aggregate (map-side partials carry ≤ N structs per group per
+    * partition — no window over the full hit set), so the plan scales
+    * exactly like the batched-kNN path.
+    */
+  def engCollapseTop(spark: SparkSession, dir: String,
+      n: Int = CollapseTopN): DataFrame = {
+    val scored = indexFor(spark, dir).scoreAllMatched(RefQuery.mkString(" "))
+    val langs = docs(spark, dir).select(col("doc_id"), col("lang"))
+    scored.join(langs, "doc_id")
+      .groupBy(col("lang"))
+      .agg(graft.functions.TopKAgg.greatest(col("score"), col("doc_id"), n).as("hits"))
+      .select(col("lang"), posexplode(col("hits")).as(Seq("rnk0", "h")))
+      .select(col("lang"), (col("rnk0") + 1).as("rank"),
+        col("h.id").as("doc_id"), round(col("h.score"), 4).as("score"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  /** Oracle for [[engCollapseTop]]: the full deterministic-fold score
+    * set, a per-lang (score_raw desc, doc_id) window, rn ≤ N. */
+  def collapseTopSql(queryTerms: Seq[String] = RefQuery,
+      n: Int = CollapseTopN): String = {
+    val terms = queryTerms.distinct.sorted
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+       |              CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+       |dfq AS (SELECT term, count(*) AS df FROM tf WHERE term IN ($termList) GROUP BY 1),
+       |scores AS (
+       |  SELECT tf.doc_id, ${foldScoreSqlAny(terms)} AS score_raw
+       |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       |  WHERE tf.term IN ($termList)
+       |  GROUP BY tf.doc_id),
+       |g AS (
+       |  SELECT d.lang, s.doc_id, s.score_raw,
+       |    CAST(row_number() OVER (PARTITION BY d.lang
+       |      ORDER BY s.score_raw DESC, s.doc_id) AS INT) AS rank
+       |  FROM scores s JOIN documents d USING (doc_id))
+       |SELECT lang, rank, doc_id, round(score_raw, 4) AS score
+       |FROM g WHERE rank <= $n
+       |ORDER BY lang, rank""".stripMargin
+  }
+
   /** SNAPSHOT (time-travel) search: generations are immutable snapshot
     * boundaries (the Iceberg snapshot-read shape the north rule's input
     * model implies — each LSM generation is a committed, manifest-listed

@@ -1042,6 +1042,132 @@ object Similarity {
        |FROM pq JOIN ex USING (vec_id)""".stripMargin
   }
 
+  // ------------------------------------------------- IVF-PQ composite
+
+  final val IvfPqNlist = 8
+  final val IvfPqNprobe = 2
+
+  /** IVF-PQ: the two scale mechanisms composed — the COARSE quantizer
+    * (persisted IVF cells, [[ivfIndexFor]]) prunes the corpus to nprobe
+    * cells, and PRODUCT QUANTIZATION ([[pqKnn]]'s codebooks) scores the
+    * surviving candidates by table lookup instead of full-dim
+    * arithmetic. This is the classical billion-scale ANN serving layout
+    * (IVFADC, Jégou et al. 2011) and this engine's analog of the
+    * reference's compressed-graph serving mode: at 100 TB a query
+    * touches nprobe/nlist of the cells and pays two broadcast-join
+    * lookups per candidate — never a full-vector scan.
+    *
+    * Determinism: cell probing is [[ivfKnn]]'s rule (cos distance asc,
+    * cid asc — nlist rows on the driver); codes and ADC tables are the
+    * pinned k-means + dot-expansion association of [[pqKnn]]; final rank
+    * (adc asc, id asc) on raw doubles. At nprobe = nlist every cell is
+    * probed, so IVF-PQ must equal plain PQ exactly (ThirdWaveSpec).
+    */
+  def ivfPqKnn(spark: SparkSession, dir: String, k: Int = 10,
+      nlist: Int = IvfPqNlist, nprobe: Int = IvfPqNprobe,
+      queryVecId: Long = 0L): DataFrame = {
+    val ivf = ivfIndexFor(spark, dir, nlist)
+    val qVec = emb(spark, dir).where(col("vec_id") === queryVecId)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val probed = ivf.centroids.collect()
+      .map { r =>
+        val c = r.getSeq[Double](1).toArray
+        val d = 1.0 - graft.functions.DotProduct.dot(qVec, c) /
+          (math.sqrt(graft.functions.DotProduct.dot(qVec, qVec)) *
+            math.sqrt(graft.functions.DotProduct.dot(c, c)))
+        (r.getLong(0), d)
+      }
+      .sortBy { case (cid, d) => (d, cid) }
+      .take(nprobe)
+      .map(_._1)
+
+    val (fit1, fit2, e) = pqFits(spark, dir)
+    val q = e.where(col("id") === queryVecId)
+    def adcFor(cents: DataFrame, from: Int): DataFrame =
+      cents.crossJoin(broadcast(q.select(slice(col("v"), from, PqSubDim).as("qv"))))
+        .select(col("cid"),
+          dot(col("qv"), col("qv"))
+            .minus(lit(2.0) * dot(col("qv"), col("cvec")))
+            .plus(dot(col("cvec"), col("cvec"))).as("dsub"))
+    val adc1 = adcFor(fit1.centroids, 1)
+      .withColumnRenamed("cid", "c1").withColumnRenamed("dsub", "d1")
+    val adc2 = adcFor(fit2.centroids, PqSubDim + 1)
+      .withColumnRenamed("cid", "c2").withColumnRenamed("dsub", "d2")
+    ivf.assignments
+      .where(col("cid").isin(probed.toSeq: _*))
+      .select(col("id"))
+      .join(fit1.assignments.select(col("id"), col("cid").as("c1")), Seq("id"))
+      .join(fit2.assignments.select(col("id"), col("cid").as("c2")), Seq("id"))
+      .join(broadcast(adc1), Seq("c1"))
+      .join(broadcast(adc2), Seq("c2"))
+      .select(col("id"), (col("d1") + col("d2")).as("adc"))
+      .orderBy(asc("adc"), asc("id"))
+      .limit(k)
+      .select(col("id").as("vec_id"),
+        (round(col("adc"), 6) + lit(0.0)).as("adc_dist"))
+  }
+
+  /** Oracle for [[ivfPqKnn]]: the coarse IVF k-means replayed
+    * CTE-for-CTE (the [[ivfRecallCurveSql]] recipe), cell probing by the
+    * same (cos dist asc, cid asc) rank, BOTH subspace codebooks and the
+    * ADC tables from [[pqKnnSql]]'s recipe, candidates filtered to the
+    * probed cells, one add, same total order. */
+  def ivfPqKnnSql(k: Int = 10, nlist: Int = IvfPqNlist,
+      nprobe: Int = IvfPqNprobe, queryVecId: Long = 0L): String = {
+    val h = PqSubDim
+    val d = 2 * PqSubDim
+    def adcCte(name: String, q: String, cents: String): String =
+      s"""$name AS (SELECT c.cid,
+         |  list_dot_product(q.qv,q.qv) - 2*list_dot_product(q.qv,c.cv) + list_dot_product(c.cv,c.cv) AS d
+         |  FROM $cents c CROSS JOIN $q q)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pts AS (SELECT vec_id AS id, v FROM e),
+       |${kmeansCtesSql(nlist, IvfKmeansIters)},
+       |qf AS (SELECT v AS qv FROM e WHERE vec_id = $queryVecId),
+       |cellrank AS (
+       |  SELECT cid,
+       |    row_number() OVER (ORDER BY 1.0 - ${cosineSql("qv", "cv")}, cid) AS cell_rank
+       |  FROM qf CROSS JOIN c$IvfKmeansIters),
+       |s1pts AS (SELECT vec_id AS id, v[1:$h] AS v FROM e),
+       |s2pts AS (SELECT vec_id AS id, v[${h + 1}:$d] AS v FROM e),
+       |${kmeansCtesSql(PqK, PqIters, "s1")},
+       |${kmeansCtesSql(PqK, PqIters, "s2")},
+       |q1 AS (SELECT v[1:$h] AS qv FROM e WHERE vec_id = $queryVecId),
+       |q2 AS (SELECT v[${h + 1}:$d] AS qv FROM e WHERE vec_id = $queryVecId),
+       |${adcCte("adc1", "q1", s"s1c$PqIters")},
+       |${adcCte("adc2", "q2", s"s2c$PqIters")},
+       |cand AS (
+       |  SELECT a.id FROM afin a JOIN cellrank cr ON a.cid = cr.cid
+       |  WHERE cr.cell_rank <= $nprobe),
+       |scored AS (
+       |  SELECT c.id, (x1.d + x2.d) AS adc
+       |  FROM cand c
+       |  JOIN s1afin a1 ON a1.id = c.id
+       |  JOIN s2afin a2 ON a2.id = c.id
+       |  JOIN adc1 x1 ON a1.cid = x1.cid
+       |  JOIN adc2 x2 ON a2.cid = x2.cid)
+       |SELECT id AS vec_id, round(adc, 6) + 0.0 AS adc_dist
+       |FROM scored ORDER BY adc, id LIMIT $k""".stripMargin
+  }
+
+  /** IVF-PQ recall gate vs the exact full-vector l2sq top-k — recall at
+    * nprobe/nlist = ¼ compounds the coarse prune's misses with the ADC
+    * error, the honest compressed-serving number the refine pattern
+    * ([[pqKnnRefine]]) then recovers. */
+  def ivfPqRecall(spark: SparkSession, dir: String): DataFrame =
+    graft.eval.Eval.recallBp(spark,
+      ivfPqKnn(spark, dir), MetricQueries.knnL2sq(spark, dir), "vec_id", 10)
+
+  def ivfPqRecallSql(): String = {
+    val rawEx = "list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, qx.v) + list_dot_product(qx.v, qx.v)"
+    s"""WITH pq AS (SELECT vec_id FROM (${ivfPqKnnSql()}) p),
+       |ee AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |qx AS (SELECT v FROM ee WHERE vec_id = 0),
+       |ex AS (SELECT e.vec_id FROM ee e, qx ORDER BY $rawEx, e.vec_id LIMIT 10)
+       |SELECT 10 AS k, CAST(count(*) * 1000 AS BIGINT) AS recall_bp
+       |FROM pq JOIN ex USING (vec_id)""".stripMargin
+  }
+
   /** Engine semantic join (stable-marriage analog). Batch-synchronous
     * Gale–Shapley is also SQL-expressible — [[semanticJoinSql]] runs the
     * identical rounds as a DuckDB recursive CTE.
