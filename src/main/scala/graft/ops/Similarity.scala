@@ -1168,6 +1168,63 @@ object Similarity {
        |FROM pq JOIN ex USING (vec_id)""".stripMargin
   }
 
+  /** IVF-PQ + EXACT REFINE — the full billion-scale serving stack
+    * (coarse cell prune → ADC table-lookup shortlist → exact re-rank of
+    * `k·factor` survivors by full-dim l2sq). This is the IVFADC+R layout
+    * (Jégou et al. 2011 §V): at 100 TB the exact arithmetic touches only
+    * the shortlist (a broadcast-join of k·factor rows against the
+    * vectors), so refine cost is independent of corpus size. Recall can
+    * only rise vs [[ivfPqKnn]]: every true neighbor the ADC top-k found
+    * is in the wider shortlist, and exact distances rank true neighbors
+    * above any other candidate (ThirdWaveSpec pins monotonicity and
+    * full-probe ≡ [[pqKnnRefine]]).
+    *
+    * Determinism: shortlist is [[ivfPqKnn]]'s pinned order; the re-rank
+    * is the identical (raw l2sq asc, id asc) total order as
+    * [[pqKnnRefine]] with the same `round(x, 6) + 0.0` emission.
+    */
+  def ivfPqKnnRefine(spark: SparkSession, dir: String, k: Int = 10,
+      factor: Int = 8, nprobe: Int = IvfPqNprobe): DataFrame = {
+    val short = ivfPqKnn(spark, dir, k * factor, nprobe = nprobe).select(col("vec_id"))
+    val e = emb(spark, dir)
+    val q = broadcast(e.where(col("vec_id") === 0L)
+      .select(col("embedding").as("qe")))
+    e.join(short, Seq("vec_id")).crossJoin(q)
+      .select(col("vec_id"),
+        graft.functions.Distances.l2sqDistance(col("embedding"), col("qe")).as("raw"))
+      .orderBy(asc("raw"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), (round(col("raw"), 6) + lit(0.0)).as("l2sq_dist"))
+  }
+
+  /** Oracle for [[ivfPqKnnRefine]]: [[ivfPqKnnSql]] at k·factor as the
+    * shortlist, then [[pqKnnRefineSql]]'s exact re-rank verbatim. */
+  def ivfPqKnnRefineSql(k: Int = 10, factor: Int = 8): String = {
+    val raw = "list_dot_product(ee.v, ee.v) - 2.0 * list_dot_product(ee.v, q.qe) + list_dot_product(q.qe, q.qe)"
+    s"""WITH short AS (SELECT vec_id FROM (${ivfPqKnnSql(k * factor)}) s),
+       |ee AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qe FROM ee WHERE vec_id = 0)
+       |SELECT ee.vec_id, round($raw, 6) + 0.0 AS l2sq_dist
+       |FROM ee JOIN short USING (vec_id) CROSS JOIN q
+       |ORDER BY $raw, ee.vec_id LIMIT $k""".stripMargin
+  }
+
+  /** Refined IVF-PQ recall gate — what the exact re-rank recovers of the
+    * compound coarse-prune + ADC error at the same nprobe. */
+  def ivfPqRefineRecall(spark: SparkSession, dir: String): DataFrame =
+    graft.eval.Eval.recallBp(spark,
+      ivfPqKnnRefine(spark, dir), MetricQueries.knnL2sq(spark, dir), "vec_id", 10)
+
+  def ivfPqRefineRecallSql(): String = {
+    val rawEx = "list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, qx.v) + list_dot_product(qx.v, qx.v)"
+    s"""WITH pq AS (SELECT vec_id FROM (${ivfPqKnnRefineSql()}) p),
+       |ee AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |qx AS (SELECT v FROM ee WHERE vec_id = 0),
+       |ex AS (SELECT e.vec_id FROM ee e, qx ORDER BY $rawEx, e.vec_id LIMIT 10)
+       |SELECT 10 AS k, CAST(count(*) * 1000 AS BIGINT) AS recall_bp
+       |FROM pq JOIN ex USING (vec_id)""".stripMargin
+  }
+
   /** Engine semantic join (stable-marriage analog). Batch-synchronous
     * Gale–Shapley is also SQL-expressible — [[semanticJoinSql]] runs the
     * identical rounds as a DuckDB recursive CTE.

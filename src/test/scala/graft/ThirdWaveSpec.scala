@@ -194,6 +194,32 @@ class ThirdWaveSpec extends SparkSpec {
     assert(partial == again, "IVF-PQ is not deterministic across runs")
   }
 
+  test("IVF-PQ refine: full probe == plain PQ refine; recall never below un-refined") {
+    // at nprobe = nlist the coarse stage is a no-op, so the shortlist is
+    // plain PQ's and the exact re-rank must coincide with pqKnnRefine
+    val fullProbe = Similarity.ivfPqKnnRefine(spark, dir,
+        nprobe = Similarity.IvfPqNlist)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pqRefine = Similarity.pqKnnRefine(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fullProbe == pqRefine, "full-probe IVF-PQ refine != PQ refine")
+    // partial-probe refine recall ≥ partial-probe ADC recall: every true
+    // neighbor the ADC top-k kept is inside the k·factor shortlist, and
+    // exact distances rank true neighbors above all other candidates
+    def recallOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.collect().head.getLong(1)
+    val rRefine = recallOf(Similarity.ivfPqRefineRecall(spark, dir))
+    val rAdc = recallOf(Similarity.ivfPqRecall(spark, dir))
+    assert(rRefine >= rAdc, s"refine recall $rRefine < ADC recall $rAdc")
+    // determinism across runs at the default partial probe
+    val got = Similarity.ivfPqKnnRefine(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.nonEmpty && got.map(_._1).distinct.length == got.length)
+    val again = Similarity.ivfPqKnnRefine(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == again)
+  }
+
   test("geo radius == brute-force haversine filter, nearest-first") {
     import graft.ops.MetricQueries
     val got = MetricQueries.geoRadius(spark, dir).collect()
