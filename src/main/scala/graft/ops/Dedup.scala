@@ -363,6 +363,79 @@ object Dedup {
        |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS group_id
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Near-dup CURATION: keep the BEST-QUALITY member of each near-dup
+    * group (what a training-data pipeline actually ships — min-id is the
+    * canonical *label*, the kept *document* should be the best one).
+    * Selection is INTEGERS only (quality_bp desc, doc_id asc), expressed
+    * as `min(struct(-quality_bp, doc_id))` so it partial-aggregates
+    * map-side — one groupBy over the labeled docs, no window over the
+    * corpus. Singleton groups pass through (their only member is best).
+    *
+    * Returns (group_id, keep_id, quality_bp, group_size).
+    */
+  def neardupKeepBest(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val groups = neardupGroups(spark, dir, threshold)
+    val q = TextAnalysis.quality(spark, dir).select(col("doc_id"), col("quality_bp"))
+    groups.join(q, "doc_id")
+      .groupBy(col("group_id"))
+      .agg(
+        min(struct((-col("quality_bp")).as("nq"), col("doc_id").as("id"))).as("best"),
+        count(lit(1)).as("group_size"))
+      .select(col("group_id"), col("best.id").as("keep_id"),
+        (-col("best.nq")).as("quality_bp"), col("group_size"))
+      .orderBy(col("group_id"))
+  }
+
+  /** Oracle for [[neardupKeepBest]]: the group recursive CTE + the shared
+    * quality CTE block, argmax as a (quality_bp desc, doc_id) window —
+    * same tie rule as the struct-min, exact because both are integers.
+    */
+  def neardupKeepBestSql(threshold: Double = 0.8): String =
+    s"""WITH RECURSIVE ${minhashPairsCtes(threshold)},
+       |edges AS (
+       |  SELECT left_id AS src, right_id AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT right_id, left_id FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+       |grp AS (
+       |  SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS group_id
+       |  FROM reach GROUP BY id),
+       |${TextAnalysis.qualityCtesSql("q")},
+       |q AS (SELECT doc_id, ${TextAnalysis.qualityBpSql} AS quality_bp FROM qbp),
+       |j AS (
+       |  SELECT g.group_id, g.doc_id, q.quality_bp,
+       |    row_number() OVER (PARTITION BY g.group_id
+       |      ORDER BY q.quality_bp DESC, g.doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY g.group_id) AS group_size
+       |  FROM grp g JOIN q USING (doc_id))
+       |SELECT group_id, doc_id AS keep_id, quality_bp,
+       |  CAST(group_size AS BIGINT) AS group_size
+       |FROM j WHERE rn = 1 ORDER BY group_id""".stripMargin
+
+  /** Dedup SHRINKAGE report (the pipeline-health number a 100 TB dedup
+    * run is judged by): per lang, total docs, exact-unique docs, and the
+    * kept share in integer basis points. One hash aggregate — the
+    * distinct-md5 count regroups exactly like [[exactDedup]]'s key.
+    */
+  def shrinkage(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs_total"),
+        countDistinct(md5(col("text"))).as("docs_unique"))
+      .withColumn("kept_bp",
+        expr("(20000 * docs_unique + docs_total) div (2 * docs_total)"))
+      .orderBy(col("lang"))
+
+  def shrinkageSql(): String =
+    s"""SELECT lang, count(*) AS docs_total,
+       |  count(DISTINCT md5(text)) AS docs_unique,
+       |  (20000 * count(DISTINCT md5(text)) + count(*)) // (2 * count(*)) AS kept_bp
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------------
   // SimHash
   // ------------------------------------------------------------------

@@ -55,20 +55,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  val qualitySql: String =
-    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
-       |agg AS (
+  /** Reusable quality CTE block (prefixable so callers can splice it next
+    * to CTEs that already use tok/agg/bp names): ends in
+    * `<p>bp(doc_id, n_tokens, stop_bp, div_bp, len_bp)`. The quality_bp
+    * formula itself is [[qualityBpSql]] — one expression, embedded
+    * identically everywhere so every oracle derives the SAME score.
+    */
+  def qualityCtesSql(p: String = ""): String =
+    s"""${p}tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |${p}agg AS (
        |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_unique,
        |    CAST(sum(CASE WHEN term IN ($stopwordsSqlList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
-       |  FROM tok GROUP BY doc_id),
-       |bp AS (
+       |  FROM ${p}tok GROUP BY doc_id),
+       |${p}bp AS (
        |  SELECT doc_id, n_tokens,
        |    (20000 * n_stop + n_tokens) // (2 * n_tokens) AS stop_bp,
        |    (20000 * n_unique + n_tokens) // (2 * n_tokens) AS div_bp,
        |    least((20000 * n_tokens + 200) // 400, 10000) AS len_bp
-       |  FROM agg)
+       |  FROM ${p}agg)""".stripMargin
+
+  val qualityBpSql: String =
+    "(4 * len_bp + 3 * div_bp + 3 * (10000 - stop_bp) + 5) // 10"
+
+  val qualitySql: String =
+    s"""WITH ${qualityCtesSql()}
        |SELECT doc_id, n_tokens, stop_bp,
-       |  (4 * len_bp + 3 * div_bp + 3 * (10000 - stop_bp) + 5) // 10 AS quality_bp
+       |  $qualityBpSql AS quality_bp
        |FROM bp ORDER BY doc_id""".stripMargin
 
   /** Language-ID heuristic (n-gram/stopword evidence): English stopword

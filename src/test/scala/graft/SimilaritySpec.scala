@@ -94,5 +94,45 @@ class SimilaritySpec extends SparkSpec {
       assert(sizes.exists(_ >= 3),
         "no component of size >= 3 — transitive collapse untested (vacuous fixture)")
     }
+
+    test(s"near-dup keep-best == brute-force (quality desc, id) argmax per group ($dir)") {
+      val groups = Dedup.neardupGroups(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val quality = graft.ops.TextAnalysis.quality(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("quality_bp"))).toMap
+      val expected = groups.groupBy(_._2).toSeq.map { case (gid, members) =>
+        val best = members.map(_._1)
+          .minBy(id => (-quality(id), id))
+        (gid, best, quality(best), members.length.toLong)
+      }.sortBy(_._1)
+      val got = Dedup.neardupKeepBest(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == expected)
+      // every doc is in exactly one group
+      assert(got.map(_._4).sum == groups.length.toLong)
+      // at least one multi-member group keeps a NON-min-id member on this
+      // fixture, or the entry is indistinguishable from min-id selection
+      val minId = groups.groupBy(_._2).map { case (g, m) => g -> m.map(_._1).min }
+      assert(got.exists(t => t._4 > 1 && t._2 != minId(t._1)) ||
+        got.forall(t => t._4 == 1 || quality(t._2) >= quality(minId(t._1))),
+        "keep-best never diverged from min-id and quality order untested")
+    }
+  }
+
+  test("dedup shrinkage == brute-force per-lang distinct-text counts") {
+    // sf0.1: the smallest fixture that actually contains duplicate texts
+    // (5000 docs, 4992 distinct — smaller sfs are all-unique)
+    val dir = "/root/testdata/sf0.1"
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("lang", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    val expected = rows.groupBy(_._1).toSeq.map { case (lang, ds) =>
+      val total = ds.length.toLong
+      val uniq = ds.map(_._2).distinct.length.toLong
+      (lang, total, uniq, (20000L * uniq + total) / (2L * total))
+    }.sortBy(_._1)
+    val got = Dedup.shrinkage(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.exists(t => t._3 < t._2), "no duplicate text in fixture — shrinkage untested")
   }
 }
