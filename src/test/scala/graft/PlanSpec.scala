@@ -133,4 +133,29 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [cid"),
       s"no cid partition pruning in:\n$plan")
   }
+
+  test("near-dup keep-best: quality argmax partial-aggregates, no corpus window") {
+    val plan = planOf(graft.ops.Dedup.neardupKeepBest(spark, "/root/testdata/sf0.001"))
+    // min(struct(-quality_bp, doc_id)) partial-combines per group before
+    // the group_id shuffle; a row_number window here would single-task
+    // the largest near-dup group at scale
+    assert(plan.contains("partial_min"), s"no partial min-struct argmax in:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "),
+      s"keep-best argmax planned as a window:\n$plan")
+  }
+
+  test("grouped top-N collapse partial-aggregates the bounded per-group top-k") {
+    val plan = planOf(graft.ops.Fulltext.engCollapseTop(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("partial_topkagg"), s"no partial TopKAgg in:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "),
+      s"grouped top-N planned as a window over the full hit set:\n$plan")
+  }
+
+  test("IVF-PQ candidate read partition-prunes to the probed cells; ADC tables broadcast") {
+    val plan = planOf(graft.ops.Similarity.ivfPqKnn(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("PartitionFilters: [cid"),
+      s"no cid partition pruning in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ADC lookup tables not broadcast:\n$plan")
+  }
 }
