@@ -204,6 +204,51 @@ object Similarity {
        |SELECT 10 AS k, CAST(count(*) * 1000 AS BIGINT) AS recall_bp
        |FROM b1 JOIN ex USING (vec_id)""".stripMargin
 
+  /** Self-recall through the b1 binary quantization — the reference's
+    * `self_recall` quality probe (/root/reference/python/usearch/eval.py:97-112:
+    * "queries every existing member of the index, to make sure
+    * approximate search finds the point itself"; its `sample` parameter
+    * bounds the query set). Exact search trivially returns self at rank
+    * 1, so graft probes the LOSSY b1 path: each sampled member's packed
+    * sign bits query the whole corpus by Hamming argmin (dist asc, id
+    * asc — min(struct) so the agg partial-aggregates map-side). A member
+    * displaced by a Hamming tie with a smaller id scores self_hit = 0 —
+    * the honest displacement the reference's docstring warns about for
+    * duplicates. All-integer output: bit-identical cross-engine by
+    * construction. The reference's scalar stat is the mean of self_hit.
+    *
+    * Scale shape: sampled queries broadcast (|sample| = n/sampleMod
+    * rows), ONE scan of the corpus, shuffle only the per-query argmin
+    * partials — never the query×member cross product.
+    */
+  def selfRecallB1(spark: SparkSession, dir: String,
+      sampleMod: Long = 50L): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), graft.functions.Quantize.b1(col("embedding")).as("bv"))
+    val q = broadcast(e.where(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id").as("query_id"), col("bv").as("qv")))
+    e.crossJoin(q)
+      .select(col("query_id"),
+        struct(hammingWords(col("bv"), col("qv")).as("h"),
+          col("vec_id").as("cid")).as("hc"))
+      .groupBy(col("query_id"))
+      .agg(min(col("hc")).as("m"))
+      .select(col("query_id"), col("m.cid").as("top1_id"),
+        when(col("m.cid") === col("query_id"), 1L).otherwise(0L).as("self_hit"))
+      .orderBy(col("query_id"))
+  }
+
+  def selfRecallB1Sql(sampleMod: Long = 50L): String =
+    s"""WITH qe AS (SELECT vec_id, ${graft.functions.Quantize.b1Sql("embedding")} AS bv FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, bv AS qv FROM qe WHERE vec_id % $sampleMod = 0),
+       |s AS (SELECT q.query_id, e.vec_id,
+       |        row_number() OVER (PARTITION BY q.query_id
+       |          ORDER BY ${hammingWordsSql("e.bv", "q.qv")}, e.vec_id) AS rn
+       |      FROM qe e CROSS JOIN q)
+       |SELECT query_id, vec_id AS top1_id,
+       |  CAST(CASE WHEN vec_id = query_id THEN 1 ELSE 0 END AS BIGINT) AS self_hit
+       |FROM s WHERE rn = 1 ORDER BY query_id""".stripMargin
+
   /** f16 half-precision exact top-k — the reference's f16 dtype
     * (/root/reference/include/usearch/index_plugins.hpp:299-352; recall
     * table README.md:249-269). Vectors are rounded to IEEE binary16 via

@@ -55,6 +55,46 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Intra-document repetition: duplicate-bigram fraction in integer
+    * basis points — the repetition filter family popularized by the
+    * Gopher data-curation rules (duplicate n-gram fraction; public
+    * concept), the signal that catches boilerplate/looping text which
+    * per-token quality ratios miss. Bigrams come from zipping the
+    * MATERIALIZED token array with its own tail (builtin `zip_with` —
+    * codegen'd, no UDF, no explode→window shuffle; the token column is
+    * named first per the lambda-inlining rule). dup/total rides the
+    * exact round-half-up integer-bp form `(20000p + q) div (2q)`. Docs
+    * with < 2 tokens have no bigrams and are outside the filter's
+    * domain. One narrow projection per doc — embarrassingly parallel at
+    * any corpus size.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), Tokenizer.tokensCol(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat(a, lit(" "), b)).as("bigrams"))
+      .select(col("doc_id"),
+        size(col("bigrams")).cast("long").as("n_bigrams"),
+        (size(col("bigrams")) - size(array_distinct(col("bigrams"))))
+          .cast("long").as("n_dup"))
+      .withColumn("rep_bp", expr("(20000 * n_dup + n_bigrams) div (2 * n_bigrams)"))
+      .orderBy(col("doc_id"))
+
+  val repetitionSql: String =
+    s"""WITH tok AS (SELECT doc_id, ${Tokenizer.duckdbTokensSql("text")} AS toks FROM documents),
+       |b AS (SELECT doc_id,
+       |        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+       |      FROM tok WHERE len(toks) >= 2)
+       |SELECT doc_id, CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+       |  CAST(len(bigrams) - len(list_distinct(bigrams)) AS BIGINT) AS n_dup,
+       |  CAST((20000 * (len(bigrams) - len(list_distinct(bigrams))) + len(bigrams))
+       |       // (2 * len(bigrams)) AS BIGINT) AS rep_bp
+       |FROM b ORDER BY doc_id""".stripMargin
+
   /** Reusable quality CTE block (prefixable so callers can splice it next
     * to CTEs that already use tok/agg/bp names): ends in
     * `<p>bp(doc_id, n_tokens, stop_bp, div_bp, len_bp)`. The quality_bp

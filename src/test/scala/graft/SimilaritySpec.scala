@@ -135,4 +135,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected)
     assert(got.exists(t => t._3 < t._2), "no duplicate text in fixture — shrinkage untested")
   }
+
+  test("self-recall b1: grouped argmin == per-query knnB1 rank 1") {
+    // the min(struct(h, id)) partial-agg must pick exactly the row the
+    // per-query (hamming asc, id asc) top-1 picks — same total order
+    val dir = "/root/testdata/sf0.001"
+    val got = Similarity.selfRecallB1(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty, "empty sample — vacuous")
+    got.foreach { case (qid, top1, hit) =>
+      val expected = Similarity.knnB1(spark, dir, k = 1, queryVecId = qid)
+        .collect().head.getLong(0)
+      assert(top1 == expected, s"query $qid: argmin $top1 != knnB1 top-1 $expected")
+      assert(hit == (if (top1 == qid) 1L else 0L))
+    }
+    // the fixture has no duplicate embeddings, so displacement (if any)
+    // comes from genuine b1 Hamming ties — and the exact f64 path must
+    // always find self (the reference's "expect the point itself")
+    got.foreach { case (qid, _, _) =>
+      val exactTop = Similarity.knnExact(spark, dir, k = 1, queryVecId = qid)
+        .collect().head.getLong(0)
+      assert(exactTop == qid, s"exact search displaced self for $qid")
+    }
+  }
 }

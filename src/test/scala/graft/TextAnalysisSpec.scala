@@ -111,4 +111,22 @@ class TextAnalysisSpec extends SparkSpec {
       assert(Dedup.memoSizes._2 == 1)
     } finally Dedup.memoCacheCap = cap0
   }
+
+  test("repetition == brute-force sliding-bigram recomputation") {
+    val dir = "/root/testdata/sf0.001"
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), graft.analyze.Tokenizer.tokenize(r.getString(1))))
+      .filter(_._2.length >= 2)
+      .map { case (id, toks) =>
+        val bigrams = toks.sliding(2).map(_.mkString(" ")).toSeq
+        val n = bigrams.length.toLong
+        val dup = n - bigrams.distinct.length.toLong
+        (id, n, dup, (20000L * dup + n) / (2L * n))
+      }.sortBy(_._1).toSeq
+    val got = TextAnalysis.repetition(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.exists(_._3 > 0), "no repeated bigram in fixture — dup path untested")
+  }
 }
