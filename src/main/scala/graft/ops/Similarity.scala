@@ -805,6 +805,43 @@ object Similarity {
        |FROM probes pr LEFT JOIN hits USING (nprobe) ORDER BY pr.nprobe""".stripMargin
   }
 
+  /** Per-cell occupancy of the persisted IVF index — the IVF analog of
+    * the reference's per-level stats report
+    * (/root/reference/include/usearch/index.hpp:3133-3210: nodes/edges
+    * per level), and the skew probe a 100 TB deployment reads before
+    * sizing probes: a lopsided cell histogram predicts hot probe
+    * partitions exactly the way a lopsided HNSW level predicts hot
+    * traversals. One groupBy over the cell-partitioned assignments
+    * (map-side partial count), empty cells kept via the centroids table;
+    * share in exact integer basis points. The corpus count is the one
+    * driver scalar.
+    */
+  def ivfStats(spark: SparkSession, dir: String, nlist: Int = 8): DataFrame = {
+    val ivf = ivfIndexFor(spark, dir, nlist)
+    val total = emb(spark, dir).count()
+    val counts = ivf.assignments.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+    ivf.centroids.select(col("cid"))
+      .join(counts, Seq("cid"), "left")
+      .na.fill(0L, Seq("n_vecs"))
+      .withColumn("share_bp", expr(s"(20000 * n_vecs + ${total}L) div (2 * ${total}L)"))
+      .select(col("cid"), col("n_vecs"), col("share_bp"))
+      .orderBy(col("cid"))
+  }
+
+  /** DuckDB oracle for [[ivfStats]]: replays the persisted index's
+    * k-means fit (bit-identical centroids and assignments — the
+    * recall-curve recipe), then the same occupancy arithmetic.
+    */
+  def ivfStatsSql(nlist: Int = 8): String =
+    s"""WITH pts AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${kmeansCtesSql(nlist, IvfKmeansIters)},
+       |cnt AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs FROM afin GROUP BY cid),
+       |tot AS (SELECT count(*) AS t FROM pts)
+       |SELECT c.cid, COALESCE(n.n_vecs, 0) AS n_vecs,
+       |  CAST((20000 * COALESCE(n.n_vecs, 0) + tot.t) // (2 * tot.t) AS BIGINT) AS share_bp
+       |FROM c$IvfKmeansIters c LEFT JOIN cnt n USING (cid) CROSS JOIN tot
+       |ORDER BY c.cid""".stripMargin
+
   /** Incremental IVF add — the reference's add-then-search lifecycle
     * (`index.add(key, vector)` then immediately searchable,
     * /root/reference/include/usearch/index_dense.hpp:779-817) on the IVF

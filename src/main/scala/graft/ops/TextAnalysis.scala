@@ -549,4 +549,202 @@ object TextAnalysis {
        |  ON contains(' ' || n.ntext || ' ', ' ' || p.probe || ' ')
        |ORDER BY p.probe_id, n.doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // corpus-level curation: blocklist, boilerplate, decontamination,
+  // rarity — the remaining standard web-pipeline filters
+  // ------------------------------------------------------------------
+
+  /** Blocklist terms: two present in the corpus vocabulary plus one
+    * dictionary-absent canary (must never match — same discipline as the
+    * contamination probes).
+    */
+  final val Blocklist = Seq("slow", "dup", "fail", "xyzzyblocked")
+  private val blocklistSqlList = Blocklist.map(s => s"'$s'").mkString(", ")
+
+  /** C4-style blocklist filter: per-doc count of blocklisted tokens and
+    * a keep decision at a blocked-token-share threshold (C4 dropped any
+    * page containing a listed word; graft keeps the count so the
+    * threshold is a parameter, default 5% in basis points — public
+    * concept, the "bad words" filter of the C4/RefinedWeb pipelines).
+    * One narrow projection per doc, no shuffle before the per-doc agg —
+    * embarrassingly parallel; the ratio rides the exact round-half-up
+    * integer-bp form.
+    */
+  def blocklist(spark: SparkSession, dir: String,
+      thresholdBp: Long = 500L): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), Tokenizer.tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(filter(col("toks"), t => t.isin(Blocklist: _*)))
+          .cast("long").as("n_blocked"))
+      .withColumn("blocked_bp", expr("(20000 * n_blocked + n_tokens) div (2 * n_tokens)"))
+      .withColumn("keep", when(col("blocked_bp") < thresholdBp, 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+
+  def blocklistSql(thresholdBp: Long = 500L): String =
+    s"""WITH b AS (SELECT doc_id, ${Tokenizer.duckdbTokensSql("text")} AS toks FROM documents)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(toks, t -> t IN ($blocklistSqlList))) AS BIGINT) AS n_blocked,
+       |  (20000 * len(list_filter(toks, t -> t IN ($blocklistSqlList))) + len(toks))
+       |    // (2 * len(toks)) AS blocked_bp,
+       |  CAST(CASE WHEN (20000 * len(list_filter(toks, t -> t IN ($blocklistSqlList))) + len(toks))
+       |    // (2 * len(toks)) < $thresholdBp THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM b ORDER BY doc_id""".stripMargin
+
+  /** Word 5-grams per doc as (doc_id, gram) rows — shared by the
+    * boilerplate and decontamination scans. The token array is
+    * materialized as a named column BEFORE the transform lambda (the
+    * Catalyst re-evaluation rule); grams come from slice-over-sequence,
+    * all builtins.
+    */
+  private final val GramN = 5
+  private def gramRows(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), Tokenizer.tokensCol(col("text")).as("toks"))
+      .where(size(col("toks")) >= GramN)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - (GramN - 1)),
+          i => array_join(slice(col("toks"), i, lit(GramN)), " "))).as("gram"))
+
+  /** DuckDB twin of [[gramRows]], as a CTE block ending in
+    * `g(doc_id, gram)`. List slicing is 1-based inclusive in DuckDB;
+    * `range` is end-exclusive, so starts run 1..len-(n-1).
+    */
+  private def gramRowsSqlCtes: String =
+    s"""tokt AS (SELECT doc_id, ${Tokenizer.duckdbTokensSql("text")} AS toks FROM documents),
+       |g AS (SELECT doc_id, array_to_string(toks[i:i+${GramN - 1}], ' ') AS gram
+       |      FROM tokt, unnest(range(1, len(toks) - ${GramN - 2})) AS t(i)
+       |      WHERE len(toks) >= $GramN)""".stripMargin
+
+  /** Cross-document boilerplate: the fraction of a doc's 5-gram
+    * positions whose gram occurs in ≥ `minDocs` distinct documents — the
+    * span-level duplicate-text signal (the C4 three-sentence dedup /
+    * RefinedWeb boilerplate family, public concepts) that catches shared
+    * headers, licence banners and templates which whole-doc dedup misses.
+    *
+    * Scale shape: one (doc, gram) partial-count agg, a gram-keyed
+    * doc-frequency agg over the DISTINCT (doc, gram) pairs (map-side
+    * combine on both), then one join of per-doc gram counts against the
+    * boilerplate gram set — every stage keyed on the gram hash, no
+    * driver state, no window. Docs shorter than 5 tokens have no grams
+    * and are outside the filter's domain.
+    */
+  def boilerplate(spark: SparkSession, dir: String,
+      minDocs: Long = 3L): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), Tokenizer.tokensCol(col("text")).as("toks"))
+      .where(size(col("toks")) >= GramN)
+    val perDocGram = gramRows(spark, dir)
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+    val boilerGrams = perDocGram
+      .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("gram"))
+    val boilerPerDoc = perDocGram.join(boilerGrams, "gram")
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("n_boiler"))
+    tok.select(col("doc_id"), (size(col("toks")) - (GramN - 1)).cast("long").as("n_grams"))
+      .join(boilerPerDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_boiler"))
+      .withColumn("boiler_bp", expr("(20000 * n_boiler + n_grams) div (2 * n_grams)"))
+      .orderBy(col("doc_id"))
+  }
+
+  def boilerplateSql(minDocs: Long = 3L): String =
+    s"""WITH $gramRowsSqlCtes,
+       |pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+       |bg AS (SELECT gram FROM (SELECT gram, count(*) AS nd FROM pg GROUP BY gram)
+       |       WHERE nd >= $minDocs),
+       |bo AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_boiler
+       |       FROM pg JOIN bg USING (gram) GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(len(toks) - ${GramN - 1} AS BIGINT) AS n_grams
+       |        FROM tokt WHERE len(toks) >= $GramN)
+       |SELECT t.doc_id, t.n_grams, COALESCE(b.n_boiler, 0) AS n_boiler,
+       |  (20000 * COALESCE(b.n_boiler, 0) + t.n_grams) // (2 * t.n_grams) AS boiler_bp
+       |FROM tot t LEFT JOIN bo b USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
+  /** Train/eval decontamination by n-gram overlap: split the corpus
+    * deterministically (doc_id % `evalMod` = 0 → eval), then report per
+    * eval doc how many of its 5-gram positions appear ANYWHERE in the
+    * train split — the n-gram-overlap decontamination popularized by the
+    * GPT-3 appendix (public concept), run here in the direction a
+    * pipeline uses it: flag eval rows whose content leaked into
+    * training.
+    *
+    * Scale shape: train grams deduplicate with one gram-keyed agg, the
+    * eval side joins against that set on the gram hash; the eval split
+    * is a scan-pushed filter on both sides. Nothing is quadratic,
+    * nothing touches the driver.
+    */
+  def decontaminate(spark: SparkSession, dir: String,
+      evalMod: Long = 20L): DataFrame = {
+    val grams = gramRows(spark, dir)
+    val trainGrams = grams.where(col("doc_id") % evalMod =!= 0)
+      .select(col("gram")).distinct()
+    val evalPerGram = grams.where(col("doc_id") % evalMod === 0)
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+    val hits = evalPerGram.join(trainGrams, "gram")
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("n_hit"))
+    docs(spark, dir)
+      .select(col("doc_id"), Tokenizer.tokensCol(col("text")).as("toks"))
+      .where(col("doc_id") % evalMod === 0 && size(col("toks")) >= GramN)
+      .select(col("doc_id"), (size(col("toks")) - (GramN - 1)).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .withColumn("contaminated", when(col("n_hit") > 0, 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
+  def decontaminateSql(evalMod: Long = 20L): String =
+    s"""WITH $gramRowsSqlCtes,
+       |tr AS (SELECT DISTINCT gram FROM g WHERE doc_id % $evalMod <> 0),
+       |ev AS (SELECT doc_id, gram, count(*) AS c FROM g
+       |       WHERE doc_id % $evalMod = 0 GROUP BY doc_id, gram),
+       |h AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_hit
+       |      FROM ev JOIN tr USING (gram) GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(len(toks) - ${GramN - 1} AS BIGINT) AS n_grams
+       |        FROM tokt WHERE doc_id % $evalMod = 0 AND len(toks) >= $GramN)
+       |SELECT t.doc_id, t.n_grams, COALESCE(h.n_hit, 0) AS n_hit,
+       |  CAST(CASE WHEN COALESCE(h.n_hit, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+       |FROM tot t LEFT JOIN h USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
+  /** Token-rarity score: per doc, the mean corpus document-frequency of
+    * its token positions, as basis points of the corpus size — the
+    * perplexity-free unigram commonness proxy (a doc of vocabulary-core
+    * words scores high, a doc of rare/typo tokens scores low; the CCNet
+    * LM-score role with integer-exact arithmetic). All integers, so
+    * cross-engine exact: sum_df ≤ n_tokens·n_docs keeps 20000·sum_df
+    * within Long for corpora under ~2·10¹³ token·docs per document —
+    * per-doc domain, not corpus domain, so web scale is safe.
+    *
+    * Scale shape: the df table is one term-keyed distinct-doc agg;
+    * joining it back is a term-keyed hash join (the vocabulary is NOT
+    * assumed broadcastable — web-scale vocab with typos is unbounded);
+    * the per-doc sum partial-aggregates map-side. The corpus count is
+    * the one driver scalar.
+    */
+  def rarity(spark: SparkSession, dir: String): DataFrame = {
+    val nDocs = docs(spark, dir).count()
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), explode(Tokenizer.tokensCol(col("text"))).as("term"))
+    val dfT = tok.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tok.join(dfT, "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("df")).as("sum_df"))
+      .withColumn("mean_df_bp",
+        expr(s"(20000 * sum_df + n_tokens * ${nDocs}L) div (2 * n_tokens * ${nDocs}L)"))
+      .orderBy(col("doc_id"))
+  }
+
+  val raritySql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+       |nd AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT doc_id, count(*) AS n_tokens, CAST(sum(df) AS BIGINT) AS sum_df,
+       |  CAST((20000 * CAST(sum(df) AS BIGINT) + count(*) * n_docs)
+       |       // (2 * count(*) * n_docs) AS BIGINT) AS mean_df_bp
+       |FROM tok JOIN df USING (term) CROSS JOIN nd
+       |GROUP BY doc_id, n_docs ORDER BY doc_id""".stripMargin
 }

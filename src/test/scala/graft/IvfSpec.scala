@@ -109,4 +109,20 @@ class IvfSpec extends SparkSpec {
     assert(bps.head < 10000L, s"nprobe=1 suspiciously perfect: $curve")
     info(s"recall curve (bp): ${curve.map { case (p, r) => s"$p→$r" }.mkString(", ")}")
   }
+
+  test("ivfStats occupancy sums to the corpus and matches an assignment recount") {
+    val stats = Similarity.ivfStats(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(stats.map(_._2).sum == total,
+      s"cell counts don't partition the corpus: $stats")
+    // independent recount straight off the persisted assignments
+    val recount = Similarity.ivfIndexFor(spark, dir, nlist = 8).assignments
+      .groupBy("cid").count().as[(Long, Long)].collect().toMap
+    stats.foreach { case (cid, n, shareBp) =>
+      assert(recount.getOrElse(cid, 0L) == n, s"cell $cid: $n vs recount")
+      assert(shareBp == (20000L * n + total) / (2L * total), s"cell $cid share_bp")
+    }
+    assert(stats.count(_._2 > 0) > 1, "degenerate clustering — one cell holds all")
+  }
 }

@@ -112,6 +112,78 @@ class TextAnalysisSpec extends SparkSpec {
     } finally Dedup.memoCacheCap = cap0
   }
 
+  // shared driver-side recompute: doc_id -> tokens at sf0.001
+  private lazy val tokenized: Seq[(Long, Array[String])] =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), graft.analyze.Tokenizer.tokenize(r.getString(1))))
+      .sortBy(_._1).toSeq
+
+  test("blocklist == brute-force token-membership recomputation") {
+    val bl = TextAnalysis.Blocklist.toSet
+    val expected = tokenized.map { case (id, toks) =>
+      val n = toks.length.toLong
+      val nb = toks.count(bl).toLong
+      val bp = (20000L * nb + n) / (2L * n)
+      (id, n, nb, bp, if (bp < 500L) 1L else 0L)
+    }
+    val got = TextAnalysis.blocklist(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(got.exists(_._5 == 0L) && got.exists(_._5 == 1L),
+      "threshold doesn't split the fixture — keep branch untested")
+    assert(tokenized.forall(!_._2.contains("xyzzyblocked")),
+      "canary term leaked into the corpus")
+  }
+
+  test("boilerplate == brute-force cross-doc 5-gram recomputation") {
+    val grams = tokenized.collect { case (id, toks) if toks.length >= 5 =>
+      (id, toks.sliding(5).map(_.mkString(" ")).toSeq)
+    }
+    val docFreq = grams.flatMap { case (id, gs) => gs.distinct.map(g => (g, id)) }
+      .groupBy(_._1).map { case (g, xs) => (g, xs.size.toLong) }
+    val expected = grams.map { case (id, gs) =>
+      val n = gs.length.toLong
+      val nb = gs.count(g => docFreq(g) >= 3L).toLong
+      (id, n, nb, (20000L * nb + n) / (2L * n))
+    }
+    val got = TextAnalysis.boilerplate(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.exists(_._3 > 0) && got.exists(_._3 == 0),
+      "fixture lacks boiler/clean mix — one branch untested")
+  }
+
+  test("decontaminate == brute-force split-overlap recomputation") {
+    val grams = tokenized.collect { case (id, toks) if toks.length >= 5 =>
+      (id, toks.sliding(5).map(_.mkString(" ")).toSeq)
+    }
+    val train = grams.collect { case (id, gs) if id % 20 != 0 => gs }.flatten.toSet
+    val expected = grams.collect { case (id, gs) if id % 20 == 0 =>
+      val hits = gs.count(train).toLong
+      (id, gs.length.toLong, hits, if (hits > 0) 1L else 0L)
+    }
+    val got = TextAnalysis.decontaminate(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.exists(_._4 == 1L) && got.exists(_._4 == 0L),
+      "fixture lacks contaminated/clean mix — one branch untested")
+  }
+
+  test("rarity == brute-force document-frequency recomputation") {
+    val nDocs = tokenized.size.toLong
+    val df = tokenized.flatMap { case (id, toks) => toks.distinct.map(t => (t, id)) }
+      .groupBy(_._1).map { case (t, xs) => (t, xs.size.toLong) }
+    val expected = tokenized.collect { case (id, toks) if toks.nonEmpty =>
+      val n = toks.length.toLong
+      val s = toks.map(df).sum
+      (id, n, s, (20000L * s + n * nDocs) / (2L * n * nDocs))
+    }
+    val got = TextAnalysis.rarity(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
   test("repetition == brute-force sliding-bigram recomputation") {
     val dir = "/root/testdata/sf0.001"
     val expected = spark.read.parquet(s"$dir/documents.parquet")
