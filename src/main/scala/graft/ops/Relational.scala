@@ -113,4 +113,93 @@ object Relational {
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY event_type, day""".stripMargin
+
+  /** Gap-based sessionization: per user, events closer than `gapMinutes`
+    * chain into one session; a session's id is its first event_id. All
+    * arithmetic in epoch MICROSECONDS as BIGINT (`unix_micros` here,
+    * `epoch_us` in DuckDB — parquet stores the same micros, so the gap
+    * compare is integer-exact cross-engine); order within a user is the
+    * total (us, event_id), so simultaneous events can't flip sessions.
+    *
+    * Scale shape: ONE window partitioned by user_id — per-task work is
+    * bounded by a single user's history, the industry-standard session
+    * key (a pathological single user beyond executor memory would salt
+    * by (user, coarse time bucket) and stitch the two boundary sessions;
+    * the corpus-wide strata problem token-budget had does NOT arise
+    * because user count grows with the data). The per-session rollup is
+    * a partial-aggregating groupBy on the same key.
+    */
+  def qSessionize(spark: SparkSession, dir: String,
+      gapMinutes: Long = 240L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = gapMinutes * 60000000L
+    // ts is TIMESTAMP_NTZ in the parquet; the session tz is pinned UTC in
+    // every entry point, so cast→unix_micros yields the same integer
+    // micros DuckDB's epoch_us reads off the naive value
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("sess_idx"))
+      .agg(min(col("event_id")).as("session_id"),
+        count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+      .select(col("user_id"), col("session_id"), col("n_events"), col("duration_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  def qSessionizeSql(gapMinutes: Long = 240L): String =
+    s"""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+       |f AS (SELECT event_id, user_id, us,
+       |        CASE WHEN lag(us) OVER w IS NULL
+       |             OR us - lag(us) OVER w > ${gapMinutes * 60000000L} THEN 1 ELSE 0 END AS new_sess
+       |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |        ROWS UNBOUNDED PRECEDING) AS sess_idx FROM f)
+       |SELECT user_id, CAST(min(event_id) AS BIGINT) AS session_id,
+       |  count(*) AS n_events, CAST(max(us) - min(us) AS BIGINT) AS duration_us
+       |FROM s GROUP BY user_id, sess_idx
+       |ORDER BY user_id, session_id""".stripMargin
+
+  /** As-of join expressed as ONE pass — for every purchase event, the
+    * most recent prior-or-simultaneous signup of the same user (the
+    * point-in-time-correct enrichment join; composing existing window
+    * ops per the custom-operator preference order, no custom plan
+    * needed). Both event streams ride a single window: the signup
+    * timestamp is carried forward by a running max over the
+    * CASE-projected column, so there is no join at all — one shuffle on
+    * user_id, per-task work bounded by one user's history, and the
+    * match rule (latest us, then largest event_id at equal us) is total.
+    * Events with no prior signup surface as -1 (both engines COALESCE
+    * the same way).
+    */
+  def qEventsAsof(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("last_signup_us",
+        max(when(col("event_type") === "signup", col("us"))).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"),
+        coalesce(col("last_signup_us"), lit(-1L)).as("last_signup_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val qEventsAsofSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+      |x AS (SELECT *, max(CASE WHEN event_type = 'signup' THEN us END) OVER
+      |        (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS last_signup_us
+      |      FROM ev)
+      |SELECT event_id, user_id, us, COALESCE(last_signup_us, -1) AS last_signup_us
+      |FROM x WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
 }
