@@ -1089,6 +1089,54 @@ object Similarity {
        |FROM scored ORDER BY adc, id LIMIT $k""".stripMargin
   }
 
+  /** Per-(subspace, code) occupancy of the persisted PQ codes — the
+    * quantizer-health report next to [[ivfStats]]: a code that captured
+    * most of a subspace means the codebook collapsed (ADC distances
+    * stop discriminating), the PQ analog of the reference's per-level
+    * stats (/root/reference/include/usearch/index.hpp:3133-3210). One
+    * groupBy per subspace over the code-partitioned assignments, empty
+    * codes kept via the codebook tables; share in exact integer basis
+    * points. The corpus count is the one driver scalar.
+    */
+  def pqStats(spark: SparkSession, dir: String): DataFrame = {
+    val (fit1, fit2, e) = pqFits(spark, dir)
+    val total = e.count()
+    def side(sub: Int, fit: PqIndex): DataFrame =
+      fit.centroids.select(lit(sub.toLong).as("subspace"), col("cid").as("code"))
+        .join(fit.assignments.groupBy(col("cid").as("code"))
+          .agg(count(lit(1)).as("n_vecs")), Seq("code"), "left")
+        .na.fill(0L, Seq("n_vecs"))
+    side(1, fit1).unionByName(side(2, fit2))
+      .withColumn("share_bp", expr(s"(20000 * n_vecs + ${total}L) div (2 * ${total}L)"))
+      .select(col("subspace"), col("code"), col("n_vecs"), col("share_bp"))
+      .orderBy(col("subspace"), col("code"))
+  }
+
+  /** DuckDB oracle for [[pqStats]]: replays BOTH subspace k-means fits
+    * (the pqKnn recipe), then the same occupancy arithmetic per side.
+    */
+  def pqStatsSql(): String = {
+    val h = PqSubDim
+    val d = 2 * PqSubDim
+    def sideSql(sub: Int): String =
+      s"""SELECT $sub AS subspace, c.cid AS code,
+         |  CAST(COALESCE(n.n_vecs, 0) AS BIGINT) AS n_vecs,
+         |  CAST((20000 * COALESCE(n.n_vecs, 0) + tot.t) // (2 * tot.t) AS BIGINT) AS share_bp
+         |FROM s${sub}c$PqIters c
+         |LEFT JOIN (SELECT cid, count(*) AS n_vecs FROM s${sub}afin GROUP BY cid) n
+         |  ON n.cid = c.cid CROSS JOIN tot""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s1pts AS (SELECT vec_id AS id, v[1:$h] AS v FROM e),
+       |s2pts AS (SELECT vec_id AS id, v[${h + 1}:$d] AS v FROM e),
+       |${kmeansCtesSql(PqK, PqIters, "s1")},
+       |${kmeansCtesSql(PqK, PqIters, "s2")},
+       |tot AS (SELECT count(*) AS t FROM e)
+       |${sideSql(1)}
+       |UNION ALL
+       |${sideSql(2)}
+       |ORDER BY subspace, code""".stripMargin
+  }
+
   /** PQ recall gate vs the exact full-vector l2sq top-k (the per-dtype
     * recall-table discipline extended to the PQ family). */
   def pqRecall(spark: SparkSession, dir: String): DataFrame =

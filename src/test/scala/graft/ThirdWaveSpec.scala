@@ -274,4 +274,19 @@ class ThirdWaveSpec extends SparkSpec {
     val n = e.length.toLong
     assert(got.map(_._2).sum == n * (n - 1) / 2, "histogram loses pairs")
   }
+
+  test("pqStats: each subspace's code occupancy partitions the corpus") {
+    val stats = Similarity.pqStats(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    Seq(1L, 2L).foreach { sub =>
+      val side = stats.filter(_._1 == sub)
+      assert(side.map(_._3).sum == total, s"subspace $sub loses vectors")
+      assert(side.size == Similarity.PqK, s"subspace $sub code count")
+      assert(side.count(_._3 > 0) > 1, s"subspace $sub codebook collapsed")
+      side.foreach { case (_, _, nv, bp) =>
+        assert(bp == (20000L * nv + total) / (2L * total))
+      }
+    }
+  }
 }
