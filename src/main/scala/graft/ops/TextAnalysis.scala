@@ -738,6 +738,58 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-language exact quality MEDIAN + the kept count at that
+    * threshold — dynamic percentile thresholding ("keep each stratum's
+    * top half") computed the scale-safe way: quality_bp is an integer in
+    * [0, 10000], so the stratum collapses to a ≤ 10001-row histogram and
+    * the median is read off the bounded cumulative sum — NO stratum-wide
+    * sort, no single-task window over raw docs (the token-budget
+    * two-level discipline applied to percentiles). The median rule is
+    * percentile_disc(0.5): smallest value whose cumulative count reaches
+    * ceil(n/2), written `2·cum ≥ n` so both engines evaluate the same
+    * integer comparison.
+    */
+  def qualityMedian(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = quality(spark, dir)
+      .join(docs(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("lang"), col("quality_bp"))
+    val hist = q.groupBy(col("lang"), col("quality_bp")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(asc("quality_bp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("lang"))
+    val med = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n_docs", sum(col("c")).over(wTot))
+      .where(col("cum") * 2 >= col("n_docs"))
+      .groupBy(col("lang"))
+      .agg(min(col("quality_bp")).as("median_bp"), max(col("n_docs")).as("n_docs"))
+    q.join(med, "lang")
+      .groupBy(col("lang"), col("median_bp"), col("n_docs"))
+      .agg(sum(when(col("quality_bp") >= col("median_bp"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("lang"), col("n_docs"), col("median_bp"), col("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val qualityMedianSql: String =
+    s"""WITH ${qualityCtesSql()},
+       |q AS (SELECT b.doc_id, d.lang, $qualityBpSql AS quality_bp
+       |      FROM bp b JOIN documents d ON d.doc_id = b.doc_id),
+       |hist AS (SELECT lang, quality_bp, count(*) AS c FROM q GROUP BY lang, quality_bp),
+       |cum AS (SELECT lang, quality_bp,
+       |          sum(c) OVER (PARTITION BY lang ORDER BY quality_bp
+       |            ROWS UNBOUNDED PRECEDING) AS cum,
+       |          sum(c) OVER (PARTITION BY lang) AS n_docs
+       |        FROM hist),
+       |med AS (SELECT lang, CAST(min(quality_bp) AS BIGINT) AS median_bp,
+       |          CAST(max(n_docs) AS BIGINT) AS n_docs
+       |        FROM cum WHERE 2 * cum >= n_docs GROUP BY lang)
+       |SELECT m.lang, m.n_docs, m.median_bp,
+       |  CAST(sum(CASE WHEN q.quality_bp >= m.median_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM q JOIN med m USING (lang)
+       |GROUP BY m.lang, m.n_docs, m.median_bp
+       |ORDER BY m.lang""".stripMargin
+
   val raritySql: String =
     s"""WITH tok AS (SELECT doc_id, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term FROM documents),
        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),

@@ -184,6 +184,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("quality median == brute-force percentile_disc over collected scores") {
+    val dir = "/root/testdata/sf0.001"
+    val q = TextAnalysis.quality(spark, dir)
+      .join(spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "lang"), "doc_id")
+      .select("lang", "quality_bp").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = q.groupBy(_._1).toSeq.map { case (lang, xs) =>
+      val sorted = xs.map(_._2).sorted
+      val n = sorted.size
+      val median = sorted((n + 1) / 2 - 1) // smallest value with cum >= ceil(n/2)
+      (lang, n.toLong, median, xs.count(_._2 >= median).toLong)
+    }.sortBy(_._1)
+    val got = TextAnalysis.qualityMedian(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.size > 1, "single stratum — per-lang grouping untested")
+    got.foreach { case (lang, n, _, kept) =>
+      assert(kept * 2 >= n, s"$lang: median keeps under half")
+    }
+  }
+
   test("repetition == brute-force sliding-bigram recomputation") {
     val dir = "/root/testdata/sf0.001"
     val expected = spark.read.parquet(s"$dir/documents.parquet")
