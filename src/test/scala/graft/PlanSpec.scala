@@ -158,4 +158,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"ADC lookup tables not broadcast:\n$plan")
   }
+
+  test("quality median: every window is lang-partitioned over the bounded histogram") {
+    val plan = planOf(graft.ops.TextAnalysis.qualityMedian(spark, "/root/testdata/sf0.001"))
+    // the scale-killer signature would be a window whose input is raw
+    // docs (ordered by doc_id) or an UNPARTITIONED ordering; both
+    // windows here ride the ≤10001-row (lang, quality_bp) histogram
+    assert(plan.contains("windowspecdefinition(lang"),
+      s"expected lang-partitioned windows in:\n$plan")
+    assert(!plan.matches("(?s).*windowspecdefinition\\((?!lang).*"),
+      s"found a window not partitioned by lang in:\n$plan")
+    assert(!plan.matches("(?s).*windowspecdefinition\\(lang#\\d+, doc_id.*"),
+      s"window runs over raw docs, not the histogram:\n$plan")
+  }
+
+  test("sessionize and as-of: windows are user-partitioned; no join in the as-of plan") {
+    val sess = planOf(Relational.qSessionize(spark, "/root/testdata/sf0.001"))
+    assert(sess.contains("windowspecdefinition(user_id"),
+      s"sessionize window not user-partitioned:\n$sess")
+    val asof = planOf(Relational.qEventsAsof(spark, "/root/testdata/sf0.001"))
+    assert(asof.contains("windowspecdefinition(user_id"),
+      s"as-of window not user-partitioned:\n$asof")
+    assert(!asof.contains("Join"), s"as-of planned a join:\n$asof")
+  }
+
+  test("boilerplate/decontaminate gram aggregations are map-side partial") {
+    val boil = planOf(graft.ops.TextAnalysis.boilerplate(spark, "/root/testdata/sf0.001"))
+    assert(boil.contains("partial_count") || boil.contains("partial_sum"),
+      s"no partial aggregation in boilerplate plan:\n$boil")
+    assert(!boil.contains("WindowExec"), s"boilerplate planned a window:\n$boil")
+  }
 }
