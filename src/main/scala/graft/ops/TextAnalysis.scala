@@ -571,17 +571,24 @@ object TextAnalysis {
     * embarrassingly parallel; the ratio rides the exact round-half-up
     * integer-bp form.
     */
-  def blocklist(spark: SparkSession, dir: String,
-      thresholdBp: Long = 500L): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"), Tokenizer.tokensCol(col("text")).as("toks"))
+  /** The blocklist gate as a frame-to-frame transform over any
+    * (doc_id, text) input — stateless per-row projections only, so the
+    * SAME definition runs batch (below) and inside a Structured
+    * Streaming micro-batch ([[graft.streaming.StreamingCuration]];
+    * StreamingCurationSpec pins streamed ≡ batch).
+    */
+  def blocklistOn(in: DataFrame, thresholdBp: Long = 500L): DataFrame =
+    in.select(col("doc_id"), Tokenizer.tokensCol(col("text")).as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(filter(col("toks"), t => t.isin(Blocklist: _*)))
           .cast("long").as("n_blocked"))
       .withColumn("blocked_bp", expr("(20000 * n_blocked + n_tokens) div (2 * n_tokens)"))
       .withColumn("keep", when(col("blocked_bp") < thresholdBp, 1L).otherwise(0L))
-      .orderBy(col("doc_id"))
+
+  def blocklist(spark: SparkSession, dir: String,
+      thresholdBp: Long = 500L): DataFrame =
+    blocklistOn(docs(spark, dir), thresholdBp).orderBy(col("doc_id"))
 
   def blocklistSql(thresholdBp: Long = 500L): String =
     s"""WITH b AS (SELECT doc_id, ${Tokenizer.duckdbTokensSql("text")} AS toks FROM documents)
