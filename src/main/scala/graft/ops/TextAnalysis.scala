@@ -716,6 +716,47 @@ object TextAnalysis {
        |  CAST(CASE WHEN COALESCE(h.n_hit, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
        |FROM tot t LEFT JOIN h USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
+  /** Sequence packing: concatenate documents (greedily, in deterministic
+    * doc_id order) into fixed `seqLen`-token training sequences — the
+    * step that turns curated documents into the fixed-shape examples a
+    * trainer consumes. Packing is WITHIN bounded shards of
+    * [[PackShardSpan]] consecutive doc ids, the way real pipelines pack
+    * within a writer shard: the running token sum is a window over ≤
+    * span rows, so no task ever sees more than one shard (a corpus-wide
+    * running sum would be the token-budget scale-killer). Each doc
+    * reports the sequence it starts in and its offset there — all
+    * integer arithmetic, order a pure function of doc_id.
+    */
+  final val PackShardSpan = 128L
+  def packSequences(spark: SparkSession, dir: String,
+      seqLen: Long = 512L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(Tokenizer.tokensCol(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("shard", expr(s"doc_id div $PackShardSpan"))
+      .withColumn("prev_tokens", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"prev_tokens div $seqLen").as("local_seq"),
+        expr(s"prev_tokens % $seqLen").as("seq_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  def packSequencesSql(seqLen: Long = 512L): String =
+    s"""WITH tc AS (
+       |  SELECT doc_id, CAST(len(${Tokenizer.duckdbTokensSql("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |s AS (SELECT doc_id, doc_id // $PackShardSpan AS shard, n_tokens,
+       |        sum(n_tokens) OVER (PARTITION BY doc_id // $PackShardSpan
+       |          ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS prev_tokens
+       |      FROM tc)
+       |SELECT doc_id, shard, n_tokens,
+       |  prev_tokens // $seqLen AS local_seq,
+       |  prev_tokens % $seqLen AS seq_offset
+       |FROM s ORDER BY doc_id""".stripMargin
+
   /** Token-rarity score: per doc, the mean corpus document-frequency of
     * its token positions, as basis points of the corpus size — the
     * perplexity-free unigram commonness proxy (a doc of vocabulary-core

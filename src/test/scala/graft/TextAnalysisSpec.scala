@@ -184,6 +184,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("pack sequences == brute-force per-shard greedy concatenation") {
+    val expected = tokenized
+      .map { case (id, toks) => (id, id / TextAnalysis.PackShardSpan, toks.length.toLong) }
+      .groupBy(_._2).toSeq.flatMap { case (_, shard) =>
+        var cum = 0L
+        shard.sortBy(_._1).map { case (id, sh, n) =>
+          val prev = cum; cum += n
+          (id, sh, n, prev / 512L, prev % 512L)
+        }
+      }.sortBy(_._1)
+    val got = TextAnalysis.packSequences(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(got.exists(_._4 > 0), "no shard spills into a second sequence — packing untested")
+    assert(got.map(_._2).distinct.size > 1, "single shard — shard isolation untested")
+  }
+
   test("quality median == brute-force percentile_disc over collected scores") {
     val dir = "/root/testdata/sf0.001"
     val q = TextAnalysis.quality(spark, dir)
