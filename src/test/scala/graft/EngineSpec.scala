@@ -171,6 +171,49 @@ class EngineSpec extends SparkSpec {
       }
   }
 
+  test("searchHot under concurrent callers: shared LRU stays consistent, results bit-identical") {
+    // the serving path's advertised use is concurrent queries against ONE
+    // Searcher; searchHot synchronizes the shared access-ordered LRU +
+    // byte account, so a storm of threads with a budget small enough to
+    // force eviction churn must only serialize, never corrupt. Analog of
+    // the reference's concurrent-search coverage
+    // (/root/reference/cpp/test.cpp:603 executor_default searches).
+    val root = Files.createTempDirectory("graft-idx-hot-conc-").toString
+    val indexed = spark.range(0, nDocs).map(i => (i, CorpusGen.genDoc(42L, i).content))
+      .toDF("doc_id", "content")
+    IndexBuilder.build(spark, indexed, root, targetBuckets = 5)
+    // ~64 KB keeps a few terms resident so threads contend on BOTH the
+    // hit path (LRU reorder) and the miss path (fetch + evict)
+    val hot = new Searcher(spark, root, cacheHot = true,
+      hotPostingsBudgetBytes = 64L * 1024)
+    val queries = CorpusGen.querySet(15)
+    val expected = queries.map { case (qid, q) =>
+      (qid, q, hits(searcher5.search(q, 10)).toSeq)
+    }
+    hot.searchHot(queries.head._2, 10) // materialize dict/doclens once
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until 8).map { t =>
+      new Thread(() => {
+        try {
+          // each thread walks the query set from a different offset so
+          // the working sets collide rather than march in lockstep
+          for (r <- 0 until 3; i <- expected.indices) {
+            val (qid, q, want) = expected((i + t * 2) % expected.length)
+            val got = hot.searchHot(q, 10).map(h => (h.docId, h.score)).toSeq
+            if (got != want) failures.add(s"thread $t rep $r q$qid '$q'")
+          }
+        } catch { case e: Throwable => failures.add(s"thread $t threw: $e") }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(failures.isEmpty, failures.toString)
+    // and the cache survives the storm: a fresh sequential pass still matches
+    expected.foreach { case (qid, q, want) =>
+      assert(hot.searchHot(q, 10).map(h => (h.docId, h.score)).toSeq == want, s"post q$qid")
+    }
+  }
+
   test("taatBucket honors the memory budget: chunked and WAND-fallback paths equal the default") {
     // 300 docs / 5 buckets → 60 docs/bucket → one accumulator row = 480
     // bytes. A 960-byte budget forces chunk = 2 (exercises the chunk
