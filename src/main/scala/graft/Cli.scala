@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.index.{IndexBuilder, Searcher, SegmentMerger}
+
+/** Production entrypoint for spark-submit deployments (the north rule's
+  * "runs via spark-submit at 10^12-file scale" shape). Subcommands wrap
+  * the library's build / search / merge / stats / fsck surfaces; the
+  * session master comes from spark-submit's `--master` when present —
+  * `local[*]` is only the bare-JVM dev fallback, so the same jar drives
+  * a laptop and a 1000-executor cluster unchanged.
+  *
+  * {{{
+  * spark-submit --class graft.Cli graft.jar build <docs.parquet> <indexRoot> \
+  *     [--buckets N] [--positions] [--id-col doc_id] [--text-col text]
+  * spark-submit --class graft.Cli graft.jar search <indexRoot> <k> <query words...>
+  * spark-submit --class graft.Cli graft.jar search-batch <indexRoot> <k> <queries.txt>
+  * spark-submit --class graft.Cli graft.jar merge <outRoot> <root1> <root2> ...
+  * spark-submit --class graft.Cli graft.jar stats <indexRoot>
+  * spark-submit --class graft.Cli graft.jar fsck <indexRoot>
+  * }}}
+  *
+  * Builds are checkpoint-resumable: re-submitting an interrupted `build`
+  * with the same arguments skips committed stages (IndexBuilder's
+  * per-stage status files + lineage manifest), so a preempted cluster
+  * job finishes on resubmit instead of restarting.
+  */
+object Cli {
+
+  val usage: String =
+    """usage: graft.Cli <command> ...
+      |  build <docs.parquet> <indexRoot> [--buckets N] [--positions] [--id-col doc_id] [--text-col text]
+      |  search <indexRoot> <k> <query words...>
+      |  search-batch <indexRoot> <k> <queries.txt>    # one query per line; ids are line numbers
+      |  merge <outRoot> <root1> <root2> ...
+      |  stats <indexRoot>
+      |  fsck <indexRoot>""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
+    val builder = SparkSession.builder().appName(s"graft-${args(0)}")
+    // spark-submit --master sets spark.master before main runs; only a
+    // bare `java -cp` launch takes the local fallback.
+    val spark =
+      (if (sys.props.contains("spark.master")) builder
+       else builder
+         .master("local[*]")
+         .config("spark.sql.shuffle.partitions",
+           Runtime.getRuntime.availableProcessors().toString))
+        .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args).foreach(println)
+    finally spark.stop()
+  }
+
+  /** Dispatch, separated from session lifecycle so tests can drive every
+    * subcommand with the suite's session. Returns the printable output.
+    */
+  def run(spark: SparkSession, args: Array[String]): Seq[String] = args(0) match {
+    case "build" =>
+      val (pos, opts) = parseOpts(args.drop(1).toSeq,
+        flags = Set("--positions"), valued = Set("--buckets", "--id-col", "--text-col"))
+      require(pos.length == 2, usage)
+      val Seq(input, root) = pos
+      val idCol = opts.getOrElse("--id-col", "doc_id")
+      val textCol = opts.getOrElse("--text-col", "text")
+      val docs = spark.read.parquet(input)
+      val st = IndexBuilder.build(spark, docs, root, idCol = idCol, textCol = textCol,
+        targetBuckets = opts.get("--buckets").map(_.toInt).getOrElse(0))
+      val withPositions = opts.contains("--positions")
+      if (withPositions) IndexBuilder.buildPositions(spark, docs, root, idCol, textCol)
+      Seq(s"built root=$root docs=${st.nDocs} terms=${st.nTerms} " +
+        s"postings=${st.totalPostings} buckets=${st.nBuckets} positions=$withPositions")
+
+    case "search" =>
+      require(args.length >= 4, usage)
+      val hits = new Searcher(spark, args(1)).search(args.drop(3).mkString(" "), args(2).toInt)
+      hits.collect().toSeq.map(r =>
+        s"${r.getAs[Long]("doc_id")}\t${r.getAs[Double]("score")}")
+
+    case "search-batch" =>
+      require(args.length == 4, usage)
+      import scala.jdk.CollectionConverters._
+      val queries = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(args(3)))
+        .asScala.toSeq.zipWithIndex.collect { case (q, i) if q.trim.nonEmpty => (i, q) }
+      val df = new Searcher(spark, args(1)).searchMany(queries, args(2).toInt)
+      df.collect().toSeq.map(r => s"${r.getAs[Int]("query_id")}\t" +
+        s"${r.getAs[Long]("doc_id")}\t${r.getAs[Double]("score")}")
+
+    case "merge" =>
+      require(args.length >= 3, usage)
+      val st = SegmentMerger.merge(spark, args.drop(2).toSeq, args(1))
+      Seq(s"merged ${args.length - 2} roots into ${args(1)}: docs=${st.nDocs} " +
+        s"terms=${st.nTerms} postings=${st.totalPostings} buckets=${st.nBuckets}")
+
+    case "stats" =>
+      require(args.length == 2, usage)
+      val s = new Searcher(spark, args(1))
+      val st = s.stats
+      val header = s"docs=${st.nDocs} tokens=${st.totalTokens} terms=${st.nTerms} " +
+        s"postings=${st.totalPostings} bucketSize=${st.bucketSize} " +
+        s"buckets=${st.nBuckets} avgdl=${st.avgdl} positions=${s.hasPositions}"
+      val levels = s.levelsStats().collect().toSeq
+      header +: "bucket\tn_docs\tn_tokens\tn_terms\tn_postings" +:
+        levels.map(r => (0 until 5).map(r.get(_).toString).mkString("\t"))
+
+    case "fsck" =>
+      require(args.length == 2, usage)
+      val s = new Searcher(spark, args(1))
+      val rep = s.integrityReport(checkPositions = s.hasPositions)
+      val cols = rep.columns
+      rep.collect().toSeq.map(r =>
+        cols.indices.map(i => s"${cols(i)}=${r.get(i)}").mkString(" "))
+
+    case other =>
+      throw new IllegalArgumentException(s"unknown command '$other'\n$usage")
+  }
+
+  /** Tiny option parser: `flags` are boolean switches, `valued` consume
+    * the next token; anything else starting with `--` is an error.
+    */
+  private def parseOpts(tokens: Seq[String], flags: Set[String],
+      valued: Set[String]): (Seq[String], Map[String, String]) = {
+    val pos = Seq.newBuilder[String]
+    var opts = Map.empty[String, String]
+    var i = 0
+    while (i < tokens.length) {
+      val t = tokens(i)
+      if (flags(t)) { opts += t -> "true"; i += 1 }
+      else if (valued(t)) {
+        require(i + 1 < tokens.length, s"$t needs a value\n$usage")
+        opts += t -> tokens(i + 1); i += 2
+      } else {
+        require(!t.startsWith("--"), s"unknown option '$t'\n$usage")
+        pos += t; i += 1
+      }
+    }
+    (pos.result(), opts)
+  }
+}
