@@ -31,9 +31,9 @@ object Cli {
   val usage: String =
     """usage: graft.Cli <command> ...
       |  build <docs.parquet> <indexRoot> [--buckets N] [--positions] [--id-col doc_id] [--text-col text]
-      |  search <indexRoot> <k> <query words...>
-      |  search-batch <indexRoot> <k> <queries.txt>    # one query per line; ids are line numbers
-      |  merge <outRoot> <root1> <root2> ...
+      |  search <indexRoot[,root2,...]> <k> <query words...>
+      |  search-batch <indexRoot[,root2,...]> <k> <queries.txt>  # one query per line; ids are line numbers
+      |  merge <outRoot> <root1> <root2> ... [--tombstones docids.parquet] [--buckets N]
       |  stats <indexRoot>
       |  fsck <indexRoot>""".stripMargin
 
@@ -75,7 +75,7 @@ object Cli {
 
     case "search" =>
       require(args.length >= 4, usage)
-      val hits = new Searcher(spark, args(1)).search(args.drop(3).mkString(" "), args(2).toInt)
+      val hits = searchOne(spark, args(1))(args.drop(3).mkString(" "), args(2).toInt)
       hits.collect().toSeq.map(r =>
         s"${r.getAs[Long]("doc_id")}\t${r.getAs[Double]("score")}")
 
@@ -84,15 +84,21 @@ object Cli {
       import scala.jdk.CollectionConverters._
       val queries = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(args(3)))
         .asScala.toSeq.zipWithIndex.collect { case (q, i) if q.trim.nonEmpty => (i, q) }
-      val df = new Searcher(spark, args(1)).searchMany(queries, args(2).toInt)
+      val df = searchBatch(spark, args(1))(queries, args(2).toInt)
       df.collect().toSeq.map(r => s"${r.getAs[Int]("query_id")}\t" +
         s"${r.getAs[Long]("doc_id")}\t${r.getAs[Double]("score")}")
 
     case "merge" =>
-      require(args.length >= 3, usage)
-      val st = SegmentMerger.merge(spark, args.drop(2).toSeq, args(1))
-      Seq(s"merged ${args.length - 2} roots into ${args(1)}: docs=${st.nDocs} " +
-        s"terms=${st.nTerms} postings=${st.totalPostings} buckets=${st.nBuckets}")
+      val (pos, opts) = parseOpts(args.drop(1).toSeq,
+        flags = Set.empty, valued = Set("--tombstones", "--buckets"))
+      require(pos.length >= 2, usage)
+      val tombs = opts.get("--tombstones")
+        .map(p => spark.read.parquet(p).select("doc_id"))
+      val st = SegmentMerger.merge(spark, pos.drop(1), pos.head, tombs,
+        targetBuckets = opts.get("--buckets").map(_.toInt).getOrElse(0))
+      Seq(s"merged ${pos.length - 1} roots into ${pos.head}: docs=${st.nDocs} " +
+        s"terms=${st.nTerms} postings=${st.totalPostings} buckets=${st.nBuckets} " +
+        s"tombstoned=${tombs.isDefined}")
 
     case "stats" =>
       require(args.length == 2, usage)
@@ -115,6 +121,23 @@ object Cli {
 
     case other =>
       throw new IllegalArgumentException(s"unknown command '$other'\n$usage")
+  }
+
+  /** `search`/`search-batch` accept one root or a comma-separated list
+    * of generation roots — the latter is the scatter-gather multi-index
+    * query (disjoint doc-id spaces, global stats injected), so a
+    * deployment can serve the L0+compacted generations before a merge.
+    */
+  private def searchOne(spark: SparkSession, rootsArg: String): (String, Int) => org.apache.spark.sql.DataFrame = {
+    val roots = rootsArg.split(',').toSeq
+    if (roots.length == 1) new Searcher(spark, roots.head).search(_, _)
+    else new graft.index.MultiSearcher(spark, roots).search(_, _)
+  }
+
+  private def searchBatch(spark: SparkSession, rootsArg: String): (Seq[(Int, String)], Int) => org.apache.spark.sql.DataFrame = {
+    val roots = rootsArg.split(',').toSeq
+    if (roots.length == 1) new Searcher(spark, roots.head).searchMany(_, _)
+    else new graft.index.MultiSearcher(spark, roots).searchMany(_, _)
   }
 
   /** Tiny option parser: `flags` are boolean switches, `valued` consume

@@ -71,6 +71,41 @@ class CliSpec extends SparkSpec {
       .foreach(m => assert(out.head.contains(m), s"$m missing from: ${out.head}"))
   }
 
+  // second generation: disjoint doc-id range, its own geometry
+  private lazy val root2 = {
+    val dir2 = Files.createTempDirectory("graft-cli-docs2-").toString
+    spark.range(nDocs, nDocs + 100)
+      .map(i => (i, CorpusGen.genDoc(43L, i).content)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir2)
+    val r = Files.createTempDirectory("graft-cli-idx2-").toString + "/idx"
+    Cli.run(spark, Array("build", dir2, r, "--buckets", "2"))
+    r
+  }
+
+  test("comma-separated roots run the multi-generation scatter-gather") {
+    val q = CorpusGen.querySet(5).map(_._2).find(_.split(" ").length > 1).get
+    val want = new graft.index.MultiSearcher(spark, Seq(root, root2)).search(q, 10)
+      .collect().map(r => s"${r.getAs[Long]("doc_id")}\t${r.getAs[Double]("score")}").toSeq
+    val got = Cli.run(spark, ("search" +: s"$root,$root2" +: "10" +: q.split(" ").toSeq).toArray)
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("merge with --tombstones drops the listed doc ids") {
+    val tombDir = Files.createTempDirectory("graft-cli-tomb-").toString + "/t"
+    Seq(0L, 1L, 2L).toDF("doc_id").write.parquet(tombDir)
+    val out = Files.createTempDirectory("graft-cli-merged-").toString + "/idx"
+    val lines = Cli.run(spark,
+      Array("merge", out, root, root2, "--tombstones", tombDir, "--buckets", "3"))
+    val survivors = new Searcher(spark, out).stats.nDocs
+    assert(survivors == nDocs + 100 - 3)
+    assert(lines.head.contains(s"docs=$survivors") && lines.head.contains("tombstoned=true"))
+    // a tombstoned doc never surfaces again
+    val q = CorpusGen.querySet(5).map(_._2).head
+    val ids = Cli.run(spark, ("search" +: out +: "1000" +: q.split(" ").toSeq).toArray)
+      .map(_.split("\t").head.toLong)
+    assert(ids.forall(_ > 2L))
+  }
+
   test("unknown commands and malformed options fail loudly") {
     intercept[IllegalArgumentException](Cli.run(spark, Array("frobnicate")))
     intercept[IllegalArgumentException](
