@@ -105,9 +105,9 @@ object Scaling {
     val effQ = hi.qps / (4.0 * lo.qps)
     println(
       s"""{"metric":"scaling_efficiency","n_docs":$nDocs,""" +
-        s""""build_files_per_sec_8":${lo.buildFps},"build_files_per_sec_32":${hi.buildFps},""" +
-        s""""build_sec_8":${lo.buildSec},"build_sec_32":${hi.buildSec},""" +
-        s""""batch_qps_8":${lo.qps},"batch_qps_32":${hi.qps},""" +
+        s""""build_files_per_sec_$loCpus":${lo.buildFps},"build_files_per_sec_$hiCpus":${hi.buildFps},""" +
+        s""""build_sec_$loCpus":${lo.buildSec},"build_sec_$hiCpus":${hi.buildSec},""" +
+        s""""batch_qps_$loCpus":${lo.qps},"batch_qps_$hiCpus":${hi.qps},""" +
         s""""build_efficiency_n_to_4n":$eff,"query_efficiency_n_to_4n":$effQ}""")
   }
 }
