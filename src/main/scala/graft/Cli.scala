@@ -30,7 +30,7 @@ object Cli {
 
   val usage: String =
     """usage: graft.Cli <command> ...
-      |  build <docs.parquet> <indexRoot> [--buckets N] [--positions] [--id-col doc_id] [--text-col text]
+      |  build <docs.parquet> <indexRoot> [--buckets N | --bucket-size W] [--positions] [--id-col doc_id] [--text-col text]
       |  search <indexRoot[,root2,...]> <k> <query words...>
       |  search-batch <indexRoot[,root2,...]> <k> <queries.txt>  # one query per line; ids are line numbers
       |  merge <outRoot> <root1> <root2> ... [--tombstones docids.parquet] [--buckets N]
@@ -60,14 +60,19 @@ object Cli {
   def run(spark: SparkSession, args: Array[String]): Seq[String] = args(0) match {
     case "build" =>
       val (pos, opts) = parseOpts(args.drop(1).toSeq,
-        flags = Set("--positions"), valued = Set("--buckets", "--id-col", "--text-col"))
+        flags = Set("--positions"),
+        valued = Set("--buckets", "--bucket-size", "--id-col", "--text-col"))
       require(pos.length == 2, usage)
       val Seq(input, root) = pos
       val idCol = opts.getOrElse("--id-col", "doc_id")
       val textCol = opts.getOrElse("--text-col", "text")
       val docs = spark.read.parquet(input)
+      // --bucket-size pins the docId-bucket width: generations built with
+      // a SHARED width merge bucket-aligned (no decode-and-rebuild), the
+      // LSM fast path a generational deployment wants.
       val st = IndexBuilder.build(spark, docs, root, idCol = idCol, textCol = textCol,
-        targetBuckets = opts.get("--buckets").map(_.toInt).getOrElse(0))
+        targetBuckets = opts.get("--buckets").map(_.toInt).getOrElse(0),
+        fixedBucketSize = opts.get("--bucket-size").map(_.toLong).getOrElse(0L))
       val withPositions = opts.contains("--positions")
       if (withPositions) IndexBuilder.buildPositions(spark, docs, root, idCol, textCol)
       Seq(s"built root=$root docs=${st.nDocs} terms=${st.nTerms} " +

@@ -106,6 +106,32 @@ class CliSpec extends SparkSpec {
     assert(ids.forall(_ > 2L))
   }
 
+  test("generations built with a shared --bucket-size merge bucket-aligned") {
+    // the LSM fast path: same docId-bucket width in both generations →
+    // SegmentMerger dispatches to mergeAligned, whose discriminator is
+    // the ABSENCE of a tokens table in the merged root (no
+    // decode-and-rebuild happened)
+    def gen(lo: Long, hi: Long, seed: Long): String = {
+      val d = Files.createTempDirectory("graft-cli-bs-docs-").toString
+      spark.range(lo, hi).map(i => (i, CorpusGen.genDoc(seed, i).content))
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(d)
+      val r = Files.createTempDirectory("graft-cli-bs-idx-").toString + "/idx"
+      Cli.run(spark, Array("build", d, r, "--bucket-size", "64"))
+      r
+    }
+    val (g1, g2) = (gen(0, 150, 42L), gen(150, 250, 43L))
+    val out = Files.createTempDirectory("graft-cli-bs-merged-").toString + "/idx"
+    val line = Cli.run(spark, Array("merge", out, g1, g2)).head
+    assert(line.contains("docs=250"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out/tokens")),
+      "aligned merge must not leave a tokens table (rebuild-path artifact)")
+    // merged index answers identically to the multi-generation view
+    val q = CorpusGen.querySet(5).map(_._2).head
+    val merged = Cli.run(spark, ("search" +: out +: "10" +: q.split(" ").toSeq).toArray)
+    val multi = Cli.run(spark, ("search" +: s"$g1,$g2" +: "10" +: q.split(" ").toSeq).toArray)
+    assert(merged.nonEmpty && merged == multi)
+  }
+
   test("unknown commands and malformed options fail loudly") {
     intercept[IllegalArgumentException](Cli.run(spark, Array("frobnicate")))
     intercept[IllegalArgumentException](
