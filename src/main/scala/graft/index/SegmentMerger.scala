@@ -123,8 +123,19 @@ object SegmentMerger {
     val lens = spark.read.parquet(layout.doclens).as[DocLenRow]
     val totalsRow = lens.select(explode(col("lens")).as("l"))
       .agg(count(lit(1)), sum(col("l"))).head()
-    val (nDocs, totalTokens) = (totalsRow.getLong(0), totalsRow.getLong(1))
+    val (mergedTokenedDocs, totalTokens) = (totalsRow.getLong(0), totalsRow.getLong(1))
     val nBuckets = lens.select(col("bucket")).distinct().count().toInt
+    // BM25's N must equal a fresh build over the union corpus, which
+    // counts zero-token docs too (IndexBuilder.build uses corpus.count()
+    // while doclens hold only tokened docs). N = Σ generation meta nDocs
+    // − tombstoned docs observable in the doclens; a tombstoned
+    // ZERO-token doc leaves no trace in any index table, so its removal
+    // cannot decrement N — the one documented divergence from a fresh
+    // survivor build. For corpora without zero-token docs the formula
+    // reduces to the merged-doclens count (previous behavior).
+    val sumMetaNDocs = roots.map(r => Meta.readStats(r).nDocs).sum
+    val sourceTokenedDocs = lensAll.select(explode(col("docIds"))).count()
+    val nDocs = sumMetaNDocs - (sourceTokenedDocs - mergedTokenedDocs)
     val avgdl = totalTokens.toDouble / nDocs.toDouble
 
     // ---- merged segments: per-bucket k-way posting merge + re-encode ----
@@ -196,8 +207,11 @@ object SegmentMerger {
       case None => tf0
     }
 
-    // surviving corpus cardinality from the merged norms, not from tf
-    // (a doc could in principle have zero postings)
+    // surviving corpus cardinality: Σ generation meta nDocs (which count
+    // zero-token docs, like a fresh build's corpus.count()) minus the
+    // tombstoned docs observable in the doclens — same N rule as
+    // mergeAligned, so both paths stay score-identical to a fresh build
+    // even when the corpus holds empty documents.
     val docsAll = roots
       .map(r => spark.read.parquet(IndexBuilder.Layout(r).doclens).as[DocLenRow]
         .flatMap(_.docIds).toDF("doc_id"))
@@ -206,7 +220,8 @@ object SegmentMerger {
       case Some(ts) => docsAll.join(ts.select(col("doc_id")), Seq("doc_id"), "left_anti")
       case None => docsAll
     }
-    val nDocs = docs.distinct().count()
+    val sumMetaNDocs = roots.map(r => Meta.readStats(r).nDocs).sum
+    val nDocs = sumMetaNDocs - (docsAll.distinct().count() - docs.distinct().count())
 
     IndexBuilder.buildFromTf(spark, tf, nDocs, outRoot, targetBuckets)
   }

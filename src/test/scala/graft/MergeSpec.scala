@@ -128,6 +128,62 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("merged ≡ fresh build when the corpus holds zero-token docs (N counts empties)") {
+    // every 10th doc is punctuation-only → tokenizes to nothing. A fresh
+    // build counts it in BM25's N (corpus.count()); the merge paths see
+    // only doclens (tokened docs), so they reconstruct N from the
+    // generations' meta counts. Empty files are ubiquitous in web-scale
+    // source corpora — without this rule merged scores drift from fresh.
+    def df(from: Long, until: Long) = spark.range(from, until)
+      .map(i => (i, if (i % 10 == 0) "//!! ??" else CorpusGen.genDoc(42L, i).content))
+      .toDF("doc_id", "content")
+    val full = tmp("zt-full"); val a = tmp("zt-a"); val b = tmp("zt-b")
+    IndexBuilder.build(spark, df(0, n), full, fixedBucketSize = 33)
+    IndexBuilder.build(spark, df(0, half), a, fixedBucketSize = 33)
+    IndexBuilder.build(spark, df(half, n), b, fixedBucketSize = 33)
+    val outA = tmp("zt-aligned"); val outR = tmp("zt-rebuild")
+    val stA = SegmentMerger.mergeAligned(spark, Seq(a, b), outA)
+    val stR = SegmentMerger.mergeRebuild(spark, Seq(a, b), outR, targetBuckets = 4)
+    val sf = new Searcher(spark, full)
+    assert(sf.stats.nDocs == n && stA.nDocs == n.toLong && stR.nDocs == n.toLong,
+      s"N must count zero-token docs: fresh=${sf.stats.nDocs} aligned=${stA.nDocs} rebuild=${stR.nDocs}")
+    val sa = new Searcher(spark, outA); val sr = new Searcher(spark, outR)
+    queries.foreach { case (qid, q) =>
+      val want = topk(sf.search(q, 10))
+      assert(topk(sa.search(q, 10)) == want, s"aligned q$qid '$q'")
+      assert(topk(sr.search(q, 10)) == want, s"rebuild q$qid '$q'")
+    }
+  }
+
+  test("aligned tombstoned merge survives an entirely-emptied bucket") {
+    // tombstoning EVERY doc of bucket 1 (ids 33..65 at bucketSize 33)
+    // exercises the empty-bucket geometry: doclens must drop the bucket,
+    // searches must skip it, and the integrity audit must stay clean —
+    // the compaction shape a retention policy (delete a whole time
+    // range) produces in production.
+    val a = tmp("ebta"); val b = tmp("ebtb")
+    IndexBuilder.build(spark, corpusDf(0, half), a, fixedBucketSize = 33)
+    IndexBuilder.build(spark, corpusDf(half, n), b, fixedBucketSize = 33)
+    val removed = (33L until 66L) ++ Seq(5L, 150L)
+    val ts = removed.toDF("doc_id")
+    val outA = tmp("ebt-aligned"); val outR = tmp("ebt-rebuild")
+    val stA = SegmentMerger.mergeAligned(spark, Seq(a, b), outA, Some(ts))
+    val stR = SegmentMerger.mergeRebuild(spark, Seq(a, b), outR, Some(ts), targetBuckets = 4)
+    assert(stA.nDocs == stR.nDocs && stA.totalTokens == stR.totalTokens &&
+      stA.nTerms == stR.nTerms && stA.totalPostings == stR.totalPostings)
+    val ma = new Searcher(spark, outA)
+    val mr = new Searcher(spark, outR)
+    val gone = removed.toSet
+    queries.foreach { case (qid, q) =>
+      val hits = topk(ma.search(q, 50))
+      assert(hits == topk(mr.search(q, 50)), s"q$qid '$q'")
+      assert(hits.forall(h => !gone.contains(h._1)), s"q$qid leaked a tombstone")
+    }
+    val rep = ma.integrityReport().collect().head
+    Seq("bad_df", "bad_dict", "bad_doclen", "bad_meta")
+      .foreach(c => assert(rep.getAs[Long](c) == 0L, s"$c nonzero"))
+  }
+
   test("aligned merge rejects generations holding the same doc id") {
     // an update ingested without tombstoning its old revision would
     // silently double that doc's postings — the merge must fail loudly
