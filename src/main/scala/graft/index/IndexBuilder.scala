@@ -170,9 +170,14 @@ object IndexBuilder {
       commit("doclens", nDocs, t0)
     }
 
-    // corpus scalars needed to encode block-max summaries
+    // corpus scalars needed to encode block-max summaries. Aggregate, not
+    // reduce: a corpus whose every doc tokenizes to nothing (binary files
+    // stripped bare, a pathological micro-batch) yields EMPTY doclens and
+    // a bare reduce throws — the degenerate index must still build (N
+    // docs, zero terms), matching fresh-build semantics.
     val totalTokens = spark.read.parquet(layout.doclens).as[DocLenRow]
-      .flatMap(_.lens).reduce(_ + _)
+      .select(explode(col("lens")).as("l"))
+      .agg(coalesce(sum(col("l")), lit(0L))).head().getLong(0)
     val avgdl = totalTokens.toDouble / nDocs.toDouble
 
     // ---- stage 3: posting segments, bucketed + block-encoded ------------
@@ -227,6 +232,7 @@ object IndexBuilder {
         .mode(SaveMode.Overwrite)
         .partitionBy("bucket")
         .parquet(layout.segments)
+      ensureReadableWhenEmpty[PostingRow](spark, layout.segments)
       commit("segments", -1L, t0)
     }
 
@@ -316,6 +322,7 @@ object IndexBuilder {
         }
       }
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(layout.positions)
+    ensureReadableWhenEmpty[PosRow](spark, layout.positions)
     Files.writeString(layout.statusFile("positions"),
       s"elapsedMs=${(System.nanoTime() - t0) / 1000000L}")
   }
@@ -343,6 +350,33 @@ object IndexBuilder {
     * build (stage 4) and the bucket-aligned LSM merge.
     * @return (nTerms, totalPostings)
     */
+  /** `partitionBy` parquet writes create files lazily, so an EMPTY
+    * dataset leaves only `_SUCCESS` behind and the table cannot be read
+    * back (no schema to infer) — the degenerate build over a corpus whose
+    * every doc tokenizes to nothing (binary files stripped bare, a
+    * pathological micro-batch). When no data file landed anywhere under
+    * `path`, append one explicitly-empty non-partitioned frame carrying
+    * the full row schema (the partition column rides as a regular column;
+    * pruning is moot on an empty table and bucket predicates still
+    * apply). Non-partitioned writes don't need this: Spark's writer
+    * creates their files eagerly even for zero rows.
+    */
+  private[graft] def ensureReadableWhenEmpty[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession, path: String, partitionCol: String = "bucket"): Unit = {
+    val s = Files.walk(Paths.get(path))
+    val hasData =
+      try s.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    if (!hasData) {
+      // column ORDER must match a partitioned read (partition column
+      // LAST), or a positional union of a degenerate generation with a
+      // normal one mis-binds columns
+      val ds = spark.emptyDataset[T]
+      val ordered = ds.columns.filterNot(_ == partitionCol) :+ partitionCol
+      ds.select(ordered.map(col): _*).write.mode(SaveMode.Append).parquet(path)
+    }
+  }
+
   private[index] def writeDictFiles(spark: SparkSession, layout: Layout): (Long, Long) = {
     import spark.implicits._
     spark.read.parquet(layout.segments).as[PostingRow]
@@ -366,7 +400,7 @@ object IndexBuilder {
       .write.mode(SaveMode.Overwrite).parquet(layout.dict)
 
     val agg = spark.read.parquet(layout.dict).as[DictRow]
-      .agg(count(lit(1)), sum($"df")).head()
+      .agg(count(lit(1)), coalesce(sum($"df"), lit(0L))).head()
     (agg.getLong(0), agg.getLong(1))
   }
 }

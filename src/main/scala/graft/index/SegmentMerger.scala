@@ -175,6 +175,7 @@ object SegmentMerger {
         }
       }
       .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(layout.segments)
+    IndexBuilder.ensureReadableWhenEmpty[PostingRow](spark, layout.segments)
     Files.writeString(layout.statusFile("segments"), "merged")
 
     // ---- dictionary + metadata: the builder's own stage-4 path ----------

@@ -184,6 +184,33 @@ class MergeSpec extends SparkSpec {
       .foreach(c => assert(rep.getAs[Long](c) == 0L, s"$c nonzero"))
   }
 
+  test("an all-zero-token generation builds, serves empty, and merges cleanly") {
+    // a micro-batch whose every doc tokenizes to nothing (binary files
+    // stripped bare) must still produce a VALID index: N counts the docs,
+    // zero terms, searches dead at planning — not a crashed build or an
+    // unreadable schema-less segments dir (partitionBy writes create
+    // files lazily; ensureReadableWhenEmpty guards it).
+    val z = tmp("zgen")
+    val zdf = spark.range(half, half + 40L).map(i => (i, "//?? !!"))
+      .toDF("doc_id", "content")
+    val st = IndexBuilder.build(spark, zdf, z, fixedBucketSize = 33)
+    assert(st.nDocs == 40 && st.nTerms == 0 && st.totalPostings == 0)
+    IndexBuilder.buildPositions(spark, zdf, z, textCol = "content")
+    val sz = new Searcher(spark, z)
+    assert(sz.hasPositions)
+    assert(sz.search("def", 5).collect().isEmpty)
+    // merged with a real generation ≡ fresh build over the union corpus
+    val a = tmp("zma"); val out = tmp("zmerge"); val full = tmp("zmfull")
+    IndexBuilder.build(spark, corpusDf(0, half), a, fixedBucketSize = 33)
+    val stM = SegmentMerger.mergeAligned(spark, Seq(a, z), out)
+    assert(stM.nDocs == half + 40L, s"merged N=${stM.nDocs}")
+    IndexBuilder.build(spark, corpusDf(0, half).union(zdf), full, fixedBucketSize = 33)
+    val sf = new Searcher(spark, full); val sm = new Searcher(spark, out)
+    queries.foreach { case (qid, q) =>
+      assert(topk(sm.search(q, 10)) == topk(sf.search(q, 10)), s"q$qid '$q'")
+    }
+  }
+
   test("aligned merge rejects generations holding the same doc id") {
     // an update ingested without tombstoning its old revision would
     // silently double that doc's postings — the merge must fail loudly
