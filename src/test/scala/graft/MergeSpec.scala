@@ -209,6 +209,12 @@ class MergeSpec extends SparkSpec {
     queries.foreach { case (qid, q) =>
       assert(topk(sm.search(q, 10)) == topk(sf.search(q, 10)), s"q$qid '$q'")
     }
+    // the PRE-merge serving view must agree too: scatter-gather with the
+    // zero-term generation in the mix (its N counts, its shards are dead)
+    val ms = new MultiSearcher(spark, Seq(a, z))
+    queries.foreach { case (qid, q) =>
+      assert(topk(ms.search(q, 10)) == topk(sf.search(q, 10)), s"multi q$qid '$q'")
+    }
   }
 
   test("aligned merge rejects generations holding the same doc id") {
