@@ -50,9 +50,19 @@ object Cli {
            Runtime.getRuntime.availableProcessors().toString))
         .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, args).foreach(println)
-    finally spark.stop()
+    try {
+      val out = run(spark, args)
+      out.foreach(println)
+      // fsck(8) semantics: report AND signal — a cron'd audit must fail
+      // the job when the index is damaged, not just print counters
+      if (args(0) == "fsck" && !fsckClean(out)) sys.exit(1)
+    } finally spark.stop()
   }
+
+  /** True iff an `fsck` report carries no nonzero bad_* counter. */
+  def fsckClean(lines: Seq[String]): Boolean =
+    !lines.exists(_.split(" ").exists(kv =>
+      kv.startsWith("bad_") && kv.split("=")(1).toLong != 0L))
 
   /** Dispatch, separated from session lifecycle so tests can drive every
     * subcommand with the suite's session. Returns the printable output.

@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   * task-order dependence, so token streams are identical at any
   * parallelism (rank-identity requirement; see reference exact-search
   * semantics /root/reference/include/usearch/index.hpp:4251-4268).
+  *
+  * Oracle scope note: the THREE runtime paths (builder, searcher, Scala
+  * oracle) share `toLowerCase(Locale.ROOT)` and are self-consistent on
+  * any input. The DuckDB SQL twin ([[duckdbTokensSql]]) matches on
+  * ASCII-dominant corpora; exotic case mappings whose lowercase lands
+  * INSIDE [a-z0-9] (e.g. the Kelvin sign U+212A → 'k') depend on each
+  * engine's Unicode tables and are outside the cross-engine contract —
+  * the engine itself remains deterministic on them.
   */
 object Tokenizer {
   final val SplitRegex = "[^a-z0-9]+"

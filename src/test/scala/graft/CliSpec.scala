@@ -132,6 +132,12 @@ class CliSpec extends SparkSpec {
     assert(merged.nonEmpty && merged == multi)
   }
 
+  test("fsckClean separates clean reports from damaged ones") {
+    assert(Cli.fsckClean(Seq("n_docs=5 bad_df=0 bad_dict=0 bad_pos=0")))
+    assert(!Cli.fsckClean(Seq("n_docs=5 bad_df=0 bad_dict=3 bad_pos=0")))
+    assert(Cli.fsckClean(Cli.run(spark, Array("fsck", root))))
+  }
+
   test("unknown commands and malformed options fail loudly") {
     intercept[IllegalArgumentException](Cli.run(spark, Array("frobnicate")))
     intercept[IllegalArgumentException](
