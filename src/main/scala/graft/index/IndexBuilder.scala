@@ -158,6 +158,17 @@ object IndexBuilder {
     // ---- stage 2: doc lengths (norms), bucketed -------------------------
     if (!committed("doclens")) {
       val t0 = System.nanoTime()
+      // bucket ids must fit an Int: bucket = docId / bucketSize is
+      // computed as a saturating SQL cast here but a WRAPPING .toInt in
+      // the searcher — past Int.Max the two silently disagree. 2³¹
+      // buckets × the default 2²⁰ width covers 2⁵¹ ≈ 2.3·10¹⁵ docs; the
+      // realistic trip is a SMALL fixedBucketSize on a generation at a
+      // large id offset (late in a 10¹²-doc streamed ingest) — pin a
+      // larger shared width instead. Footer-stats max: cheap per build.
+      val maxDocId = tf.agg(coalesce(max($"doc_id"), lit(0L))).head().getLong(0)
+      require(maxDocId / bucketSize <= Int.MaxValue.toLong,
+        s"bucket id overflow: max doc_id $maxDocId at bucketSize $bucketSize " +
+          "exceeds Int range — pin a larger fixedBucketSize for this id range")
       tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
         .withColumn("bucket", (col("doc_id") / bucketSize).cast("int"))
         .as[(Long, Long, Int)]

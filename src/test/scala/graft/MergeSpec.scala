@@ -217,6 +217,29 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("high-offset generation (doc ids past Int.Max) scores offset-independently") {
+    // a generation late in a 10¹²-doc streamed ingest carries huge id
+    // offsets; with an adequate bucket width the index must behave
+    // exactly like the same corpus at offset 0 (ids shifted, scores and
+    // ranks identical), and an inadequate width must fail LOUDLY at
+    // build time instead of silently wrapping bucket ids
+    val off = 3000000000L // > Int.MaxValue
+    val base = tmp("ho-base"); val high = tmp("ho-high")
+    IndexBuilder.build(spark, corpusDf(0, 60), base, fixedBucketSize = 1L << 20)
+    val hdf = spark.range(0, 60)
+      .map(i => (i + off, CorpusGen.genDoc(42L, i).content)).toDF("doc_id", "content")
+    IndexBuilder.build(spark, hdf, high, fixedBucketSize = 1L << 20)
+    val sb = new Searcher(spark, base); val sh = new Searcher(spark, high)
+    queries.foreach { case (qid, q) =>
+      val want = topk(sb.search(q, 10)).map { case (id, s) => (id + off, s) }
+      assert(topk(sh.search(q, 10)) == want, s"q$qid '$q'")
+    }
+    val e = intercept[IllegalArgumentException] {
+      IndexBuilder.build(spark, hdf, tmp("ho-bad"), fixedBucketSize = 1L)
+    }
+    assert(e.getMessage.contains("bucket id overflow"))
+  }
+
   test("aligned merge rejects generations holding the same doc id") {
     // an update ingested without tombstoning its old revision would
     // silently double that doc's postings — the merge must fail loudly
