@@ -749,8 +749,8 @@ object TextAnalysis {
        |  SELECT doc_id, CAST(len(${Tokenizer.duckdbTokensSql("text")}) AS BIGINT) AS n_tokens
        |  FROM documents),
        |s AS (SELECT doc_id, doc_id // $PackShardSpan AS shard, n_tokens,
-       |        sum(n_tokens) OVER (PARTITION BY doc_id // $PackShardSpan
-       |          ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS prev_tokens
+       |        CAST(sum(n_tokens) OVER (PARTITION BY doc_id // $PackShardSpan
+       |          ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS prev_tokens
        |      FROM tc)
        |SELECT doc_id, shard, n_tokens,
        |  prev_tokens // $seqLen AS local_seq,

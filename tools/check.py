@@ -44,6 +44,21 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: columns spark={s_cols} duck={d_cols}")
         fails += 1
         continue
+    # Driver-strict dtype gate: the driver's hash is type-aware, so an
+    # integer-contract column that comes back float/object from one engine
+    # (e.g. DuckDB HUGEINT from an uncast window sum) must FAIL here even
+    # when the float-coerced values agree (the round-5 ta_pack class).
+    dt_bad = None
+    for c in s_cols:
+        sk, dk = spark_df[c].dtype.kind, duck_df[c].dtype.kind
+        # ints must stay ints on both sides; floats must stay floats.
+        if (sk in "iu") != (dk in "iu") or (sk == "f") != (dk == "f"):
+            dt_bad = (c, spark_df[c].dtype, duck_df[c].dtype)
+            break
+    if dt_bad:
+        print(f"FAIL {name}: dtype col={dt_bad[0]} spark={dt_bad[1]} duck={dt_bad[2]}")
+        fails += 1
+        continue
     s = spark_df[s_cols].sort_values(s_cols).reset_index(drop=True)
     d = duck_df[d_cols].sort_values(d_cols).reset_index(drop=True)
     if len(s) != len(d):
