@@ -25,3 +25,76 @@ object TimeOne {
     spark.stop()
   }
 }
+
+/** Dev tool: dump `.explain("formatted")` for named SparkEntry queries.
+  * Usage: runMain graft.PlanDump <out_dir> <suffix> <q1,q2,...|all> [sfDir] [cpus]
+  * Writes <out_dir>/<query>_<suffix>.txt per query.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val suffix = args(1)
+    val names =
+      if (args(2) == "all") SparkEntry.queries.keys.toSeq.sorted
+      else args(2).split(",").toSeq
+    val sfDir = if (args.length > 3) args(3) else "/root/testdata/sf0.1"
+    val cpus = if (args.length > 4) args(4) else "32"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val w = new java.io.PrintWriter(s"$outDir/${name}_$suffix.txt")
+      try w.write(plan) finally w.close()
+      println(s"dumped $name")
+    }
+    spark.stop()
+  }
+}
+
+/** Dev tool: noop-sink isolated timings (guide §1.4) for named queries —
+  * NOT the frozen bench; numbers are cited in OPTIMIZATION_r06.md only.
+  * Usage: runMain graft.BenchExtra <q1,q2,...> [sfDir] [cpus] [reps]
+  */
+object BenchExtra {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",").toSeq
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = if (args.length > 2) args(2) else "32"
+    val reps = if (args.length > 3) args(3).toInt else 3
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // same prewarm as Bench so eng_*/sim_ivf entries measure queries
+    graft.ops.Fulltext.indexFor(spark, sfDir)
+    graft.ops.Fulltext.engBm25MultiGen(spark, sfDir).collect()
+    graft.ops.Similarity.ivfIndexFor(spark, sfDir)
+    graft.ops.Similarity.semJoinIvfFor(spark, sfDir)
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for (_ <- 1 to reps) {
+      names.foreach { name =>
+        spark.sparkContext.setJobDescription(name)
+        val t = time {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        spark.catalog.clearCache()
+        if (!best.contains(name) || t < best(name)) best(name) = t
+      }
+    }
+    best.foreach { case (n, t) => println(f"NOOP $n sec=$t%.3f") }
+    spark.stop()
+  }
+}

@@ -107,7 +107,9 @@ object IndexBuilder {
     val manifests = scala.collection.mutable.ArrayBuffer.empty[ManifestRow]
 
     def committed(stage: String): Boolean = Files.exists(layout.statusFile(stage))
-    def commit(stage: String, rows: Long, t0: Long): Unit = {
+    // synchronized: the doclens stage commits from a pool thread while
+    // segments/dict commit from the caller's thread
+    def commit(stage: String, rows: Long, t0: Long): Unit = manifests.synchronized {
       manifests += ManifestRow(snapshotId, stage, -1, stage, rows,
         (System.nanoTime() - t0) / 1000000L, "committed")
       Files.writeString(layout.statusFile(stage), s"rows=$rows")
@@ -155,43 +157,62 @@ object IndexBuilder {
     }
     val tf = spark.read.parquet(layout.tokens)
 
-    // ---- stage 2: doc lengths (norms), bucketed -------------------------
-    if (!committed("doclens")) {
-      val t0 = System.nanoTime()
-      // bucket ids must fit an Int: bucket = docId / bucketSize is
-      // computed as a saturating SQL cast here but a WRAPPING .toInt in
-      // the searcher — past Int.Max the two silently disagree. 2³¹
-      // buckets × the default 2²⁰ width covers 2⁵¹ ≈ 2.3·10¹⁵ docs; the
-      // realistic trip is a SMALL fixedBucketSize on a generation at a
-      // large id offset (late in a 10¹²-doc streamed ingest) — pin a
-      // larger shared width instead. Footer-stats max: cheap per build.
-      val maxDocId = tf.agg(coalesce(max($"doc_id"), lit(0L))).head().getLong(0)
-      require(maxDocId / bucketSize <= Int.MaxValue.toLong,
-        s"bucket id overflow: max doc_id $maxDocId at bucketSize $bucketSize " +
-          "exceeds Int range — pin a larger fixedBucketSize for this id range")
-      tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-        .withColumn("bucket", (col("doc_id") / bucketSize).cast("int"))
-        .as[(Long, Long, Int)]
-        .groupByKey(_._3)
-        .mapGroups { (bucket, it) =>
-          val arr = it.toArray.sortBy(_._1)
-          DocLenRow(bucket, arr.map(_._1), arr.map(_._2))
-        }
-        .write.mode(SaveMode.Overwrite).parquet(layout.doclens)
-      commit("doclens", nDocs, t0)
-    }
-
-    // corpus scalars needed to encode block-max summaries. Aggregate, not
-    // reduce: a corpus whose every doc tokenizes to nothing (binary files
-    // stripped bare, a pathological micro-batch) yields EMPTY doclens and
-    // a bare reduce throws — the degenerate index must still build (N
-    // docs, zero terms), matching fresh-build semantics.
-    val totalTokens = spark.read.parquet(layout.doclens).as[DocLenRow]
-      .select(explode(col("lens")).as("l"))
-      .agg(coalesce(sum(col("l")), lit(0L))).head().getLong(0)
+    // corpus scalars: ONE column-pruned aggregate over the persisted tf
+    // table yields BOTH the overflow-guard max docId and the total token
+    // count (avgdl). The former ran as its own max job; the latter was
+    // re-derived from the doclens table the build had just written —
+    // Σ lens ≡ Σ tf exactly (both Long sums of the same values), and
+    // coalesce keeps the degenerate all-empty-docs corpus building (N
+    // docs, zero terms) like the old aggregate-not-reduce shape did.
+    val scalars = tf
+      .agg(coalesce(max($"doc_id"), lit(0L)), coalesce(sum($"tf"), lit(0L)))
+      .head()
+    val maxDocId = scalars.getLong(0)
+    val totalTokens = scalars.getLong(1)
     val avgdl = totalTokens.toDouble / nDocs.toDouble
+    // bucket ids must fit an Int: bucket = docId / bucketSize is
+    // computed as a saturating SQL cast here but a WRAPPING .toInt in
+    // the searcher — past Int.Max the two silently disagree. 2³¹
+    // buckets × the default 2²⁰ width covers 2⁵¹ ≈ 2.3·10¹⁵ docs; the
+    // realistic trip is a SMALL fixedBucketSize on a generation at a
+    // large id offset (late in a 10¹²-doc streamed ingest) — pin a
+    // larger shared width instead. Footer-stats max: cheap per build.
+    require(maxDocId / bucketSize <= Int.MaxValue.toLong,
+      s"bucket id overflow: max doc_id $maxDocId at bucketSize $bucketSize " +
+        "exceeds Int range — pin a larger fixedBucketSize for this id range")
+
+    // ---- stages 2 and 3 OVERLAP: doclens and segments both derive from
+    // the persisted tf table and are independent of each other, so the
+    // doclens job runs on a driver thread while the (heavier) segments
+    // shuffle+write proceeds — concurrent jobs back-fill executor slots
+    // left idle by each other's stage tails; results are byte-identical
+    // because the stages share no state beyond the read-only tf table.
+    // ---- stage 2: doc lengths (norms), bucketed -------------------------
+    val doclensFuture: java.util.concurrent.Future[_] =
+      if (committed("doclens")) null
+      else IndexBuilder.stagePool.submit(new Runnable {
+        override def run(): Unit = {
+          val t0 = System.nanoTime()
+          // declarative agg (not groupByKey.mapGroups): partials combine
+          // map-side and the whole stage stays in Tungsten/codegen; the
+          // struct array_sort orders by the unique doc_id, reproducing
+          // the former sortBy exactly
+          tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+            .withColumn("bucket", (col("doc_id") / bucketSize).cast("int"))
+            .groupBy($"bucket")
+            .agg(array_sort(collect_list(struct($"doc_id", $"dl"))).as("p"))
+            .select($"bucket",
+              expr("transform(p, x -> x.doc_id)").as("docIds"),
+              expr("transform(p, x -> x.dl)").as("lens"))
+            .write.mode(SaveMode.Overwrite).parquet(layout.doclens)
+          commit("doclens", nDocs, t0)
+        }
+      })
+    def awaitDoclens(): Unit =
+      if (doclensFuture != null) doclensFuture.get()
 
     // ---- stage 3: posting segments, bucketed + block-encoded ------------
+    try {
     if (!committed("segments")) {
       val t0 = System.nanoTime()
       val avgdlLocal = avgdl
@@ -255,10 +276,30 @@ object IndexBuilder {
         totalPostings, bucketSize, buckets))
       commit("dict", nTerms, t0)
     }
+    } finally {
+      // join the doclens thread before returning (or before propagating a
+      // segments/dict failure) — a failed doclens job rethrows here and
+      // its commit marker is never written, same as the sequential shape
+      awaitDoclens()
+    }
     // lineage + metrics (Iceberg-style JSON metadata, driver-side)
     if (manifests.nonEmpty) Meta.appendManifest(root, manifests.toSeq)
     Meta.readStats(root)
   }
+
+  /** Shared pool for the overlapped build stage (daemon threads — a
+    * crashed driver must not hang on pool shutdown). Concurrent builds
+    * (e.g. the two multigen generations) each submit at most one task.
+    */
+  private[graft] lazy val stagePool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(
+      new java.util.concurrent.ThreadFactory {
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, "graft-build-stage")
+          t.setDaemon(true)
+          t
+        }
+      })
 
   /** Opt-in POSITIONS sidecar build — term positions per (term, bucket,
     * doc), delta+varbyte blocks on the same 128-doc boundaries as the
@@ -390,22 +431,18 @@ object IndexBuilder {
 
   private[index] def writeDictFiles(spark: SparkSession, layout: Layout): (Long, Long) = {
     import spark.implicits._
-    spark.read.parquet(layout.segments).as[PostingRow]
-      .groupByKey(_.term)
-      .mapGroups { (term, it) =>
-        var df = 0L
-        var mx = 0.0
-        val bks = scala.collection.mutable.ArrayBuffer.empty[Int]
-        it.foreach { r =>
-          df += r.df
-          if (r.maxTfNorm > mx) mx = r.maxTfNorm
-          bks += r.bucket
-        }
-        // the bucket list is always EXPLICIT: generation indexes hold
-        // docId subranges, so their bucket ids are not 0-based and no
-        // "all buckets" sentinel can expand correctly for them
-        DictRow(term, df, mx, bks.sorted.toArray)
-      }
+    // declarative agg, NOT groupByKey.mapGroups: the typed path
+    // deserialized FULL PostingRows — dragging every encoded posting
+    // block through the term shuffle to compute three scalars — where
+    // this plan prunes the scan to (term, bucket, df, maxTfNorm) and
+    // partial-aggregates map-side. maxTfNorm ≥ tfNorm > 0, so max()
+    // equals the old fold-from-0.0; the bucket list is always EXPLICIT:
+    // generation indexes hold docId subranges, so their bucket ids are
+    // not 0-based and no "all buckets" sentinel can expand correctly
+    spark.read.parquet(layout.segments)
+      .groupBy($"term")
+      .agg(sum($"df").as("df"), max($"maxTfNorm").as("maxTfNorm"),
+        sort_array(collect_list($"bucket")).as("buckets"))
       .repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"))
       .write.mode(SaveMode.Overwrite).parquet(layout.dict)

@@ -81,10 +81,17 @@ object KMeans {
       StructField("cvec", ArrayType(DoubleType), nullable = false)))
     def mkCentroids(rows: Seq[Row]): DataFrame =
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), centroidSchema)
-    var centroids = mkCentroids(
-      initRows.zipWithIndex.map { case (r, i) => Row(i.toLong, r.getSeq[Double](1)) }
-        .toSeq).cache()
-    centroids.count()
+    // centroid state lives on the DRIVER between iterations (k rows — the
+    // same bounded-driver-state pattern as BatchCluster): each round
+    // collects the ≤ k updated means and rebuilds the broadcast-side
+    // frame locally, instead of caching + counting a distributed
+    // centroids frame per iteration (one fewer job and no cache churn
+    // per round; the collected doubles are the identical shuffle output,
+    // so every value is bit-unchanged)
+    var cent: Seq[(Long, Seq[Double])] =
+      initRows.zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }.toSeq
+    def centroidsDf(): DataFrame =
+      mkCentroids(cent.map { case (cid, v) => Row(cid, v) })
 
     // argmin via min(struct(dist, cid)): the struct's lexicographic order
     // IS the (dist asc, cid asc) tie rule, and the aggregate partial-
@@ -108,7 +115,7 @@ object KMeans {
     var prevInertia = Double.NaN
     var stop = false
     while (it < iterations && !stop) {
-      val assigned0 = assign(centroids)
+      val assigned0 = assign(centroidsDf())
       val assigned = if (inertiaRelTol > 0.0) assigned0.cache() else assigned0
       if (inertiaRelTol > 0.0) {
         // inertia of the CURRENT centroids' assignment: if the last
@@ -141,18 +148,16 @@ object KMeans {
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("dm"))
         .select(col("cid"), expr("transform(dm, p -> p.mean)").as("newvec"))
+        .collect()
+      val updMap = updated
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
       // empty clusters keep their previous centroid (oracle semantics)
-      val next = centroids
-        .join(updated, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("newvec"), col("cvec")).as("cvec"))
-        .cache()
-      next.count()
-      centroids.unpersist()
-      centroids = next
+      cent = cent.map { case (cid, v) => (cid, updMap.getOrElse(cid, v)) }
       if (inertiaRelTol > 0.0) assigned.unpersist()
       }
     }
 
+    val centroids = centroidsDf().cache()
     val finalAssign = assign(centroids).select(col("id"), col("cid"), col("dist")).cache()
     val inertia = finalAssign.agg(sum(col("dist"))).head().getDouble(0)
     // finalAssign is materialized by the inertia pass — the input cache

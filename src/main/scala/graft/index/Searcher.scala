@@ -64,6 +64,15 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     if (cacheHot) { val c = d.cache(); c.count(); c } else d
   }
 
+  // ONE file-listing/schema resolution per Searcher for the big tables:
+  // index roots are immutable once their stages commit (merges write new
+  // roots; tombstoning is a read-time anti-join), so the cached relation
+  // cannot go stale. Re-running `spark.read.parquet` per query re-listed
+  // the partitioned segments dir and re-read footers on every search —
+  // a measured share of the per-query job floor on the sequential path.
+  private lazy val segmentsDS = spark.read.parquet(layout.segments).as[PostingRow]
+  private lazy val positionsDS = spark.read.parquet(layout.positions).as[PosRow]
+
   // ---- hot serving path (driver-side, cacheHot only) -------------------
   // The usearch in-RAM serving analog taken to its conclusion: once the
   // dictionary, norms, and the query terms' postings are resident, a
@@ -105,7 +114,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
         .flatMap(t => hotDict.get(t).map(_.buckets.toSeq).getOrElse(Seq.empty)).distinct
       val fetched =
         if (missingBuckets.isEmpty) Map.empty[String, Array[PostingRow]]
-        else spark.read.parquet(layout.segments).as[PostingRow]
+        else segmentsDS
           .where($"term".isin(missing: _*) && $"bucket".isin(missingBuckets: _*))
           .collect()
           .groupBy(_.term)
@@ -187,7 +196,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     * encoded blocks are never read) plus one pass over the doclens rows.
     */
   def levelsStats(): DataFrame = {
-    val segs = spark.read.parquet(layout.segments)
+    val segs = segmentsDS
       .select(col("bucket"), col("term"), col("df"))
       .groupBy(col("bucket"))
       .agg(countDistinct(col("term")).as("n_terms"), sum(col("df")).as("n_postings"))
@@ -233,7 +242,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
   def integrityReport(checkPositions: Boolean = false): DataFrame = {
     val bs = stats.bucketSize
     // decoded per-(term, bucket) facts
-    val perRow = spark.read.parquet(layout.segments).as[PostingRow]
+    val perRow = segmentsDS
       .map { r =>
         val p = PostingCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq)
         var sumTf = 0L
@@ -265,7 +274,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
       .where(col("df").isNull || col("seg_df").isNull || col("df") =!= col("seg_df"))
       .count()
     // per-doc decoded tf sums == doclens norms
-    val docTf = spark.read.parquet(layout.segments).as[PostingRow]
+    val docTf = segmentsDS
       .flatMap { r =>
         val p = PostingCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq)
         p.docIds.iterator.zip(p.tfs.iterator).map { case (d, tf) => (d, tf.toLong) }
@@ -274,10 +283,17 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     val dlFlat = doclensDS
       .flatMap(r => r.docIds.iterator.zip(r.lens.iterator))
       .toDF("doc_id", "dl")
-    val badDoclen = dlFlat.join(docTf, Seq("doc_id"), "full_outer")
-      .where(coalesce(col("dl"), lit(0L)) =!= coalesce(col("sum_tf"), lit(0L)))
-      .count()
-    val nDocs = dlFlat.count()
+    // one pass: the doclens row count and the norm mismatches both fall
+    // out of the same full-outer join (the separate dlFlat.count() job
+    // re-read and re-flattened every doclens row)
+    val dlAgg = dlFlat.join(docTf, Seq("doc_id"), "full_outer")
+      .agg(
+        sum(when(coalesce(col("dl"), lit(0L)) =!= coalesce(col("sum_tf"), lit(0L)), 1L)
+          .otherwise(0L)).as("bad"),
+        sum(when(col("dl").isNotNull, 1L).otherwise(0L)).as("n_docs"))
+      .head()
+    val badDoclen = if (dlAgg.isNullAt(0)) 0L else dlAgg.getLong(0)
+    val nDocs = if (dlAgg.isNullAt(1)) 0L else dlAgg.getLong(1)
     val nPostings = scalars.getLong(0)
     val totalTokens = scalars.getLong(1)
     val nTerms = scalars.getLong(2)
@@ -292,7 +308,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     val badPos =
       if (!checkPositions) 0L
       else {
-        val posFlat = spark.read.parquet(layout.positions).as[PosRow]
+        val posFlat = positionsDS
           .flatMap { r =>
             val p = graft.codec.PositionCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq)
             p.docIds.iterator.zip(p.positions.iterator).map { case (d, ps) =>
@@ -300,7 +316,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
               (r.term, d, ps.length.toLong, asc)
             }
           }.toDF("term", "doc_id", "n_pos", "pos_ok")
-        val tfFlat = spark.read.parquet(layout.segments).as[PostingRow]
+        val tfFlat = segmentsDS
           .flatMap { r =>
             val p = PostingCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq)
             p.docIds.iterator.zip(p.tfs.iterator).map { case (d, tf) => (r.term, d, tf.toLong) }
@@ -352,7 +368,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     val buckets = terms
       .flatMap(t => local.get(t).map(_.buckets.toSeq).getOrElse(Seq.empty)).distinct
     if (buckets.isEmpty) return empty
-    spark.read.parquet(layout.segments).as[PostingRow]
+    segmentsDS
       .where($"term".isin(terms: _*) && $"bucket".isin(buckets: _*))
       .flatMap { row =>
         val p = PostingCodec.decodeBlocks(row.blocks.map(_.bytes).toSeq)
@@ -379,7 +395,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     if (docIds.isEmpty) return empty
     val buckets = docIds.map(id => (id / stats.bucketSize).toInt).distinct
     val idsB = spark.sparkContext.broadcast(docIds.toSet)
-    spark.read.parquet(layout.segments).as[PostingRow]
+    segmentsDS
       .where($"bucket".isin(buckets: _*))
       .flatMap { row =>
         val ids = idsB.value
@@ -437,7 +453,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     val liveTerms = live.flatMap(_._2).distinct
     val qsB = spark.sparkContext.broadcast(live)
     val pbB = spark.sparkContext.broadcast(phraseBuckets)
-    spark.read.parquet(layout.positions).as[PosRow]
+    positionsDS
       .where($"term".isin(liveTerms: _*) && $"bucket".isin(buckets: _*))
       .groupByKey(_.bucket)
       .flatMapGroups { (bucket, it) =>
@@ -501,7 +517,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     val liveTerms = live.flatMap(_._2).distinct
     val qsB = spark.sparkContext.broadcast(live)
     val qbB = spark.sparkContext.broadcast(queryBuckets)
-    spark.read.parquet(layout.positions).as[PosRow]
+    positionsDS
       .where($"term".isin(liveTerms: _*) && $"bucket".isin(buckets: _*))
       .groupByKey(_.bucket)
       .flatMapGroups { (bucket, it) =>
@@ -571,7 +587,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     val liveTerms = live.flatMap(_._2).distinct
     val qsB = spark.sparkContext.broadcast(live)
     val qbB = spark.sparkContext.broadcast(queryBuckets)
-    spark.read.parquet(layout.positions).as[PosRow]
+    positionsDS
       .where($"term".isin(liveTerms: _*) && $"bucket".isin(buckets: _*))
       .groupByKey(_.bucket)
       .flatMapGroups { (bucket, it) =>
@@ -630,7 +646,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     val liveTerms = live.flatMap(_._2).distinct
     val qsB = spark.sparkContext.broadcast(live)
     val qbB = spark.sparkContext.broadcast(queryBuckets)
-    val partials = spark.read.parquet(layout.segments).as[PostingRow]
+    val partials = segmentsDS
       .where($"term".isin(liveTerms: _*) && $"bucket".isin(buckets: _*))
       .groupByKey(_.bucket)
       .flatMapGroups { (bucket, it) =>
@@ -694,7 +710,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     if (live.isEmpty) return empty
     val buckets = live.flatMap(t => local(t).buckets).distinct
     val kLocal = k
-    val postings = spark.read.parquet(layout.segments).as[PostingRow]
+    val postings = segmentsDS
       .where($"term".isin(live: _*) && $"bucket".isin(buckets.toSeq: _*))
     val doclens = doclensDS.where($"bucket".isin(buckets.toSeq: _*))
     val perBucket = postings
@@ -873,7 +889,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     val live = norm.filter(t => local.get(t).exists(_.df > 0L))
     if (live.isEmpty) return empty
     val buckets = live.flatMap(t => local(t).buckets).distinct
-    val seedOcc = spark.read.parquet(layout.positions).as[PosRow]
+    val seedOcc = positionsDS
       .where($"term".isin(live: _*) && $"bucket".isin(buckets: _*))
       .flatMap { r =>
         r.blocks.iterator.flatMap { b =>
@@ -884,7 +900,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
         }
       }
       .toDF("seed", "bucket", "doc_id", "pos")
-    val followers = spark.read.parquet(layout.positions).as[PosRow]
+    val followers = positionsDS
       .where($"bucket".isin(buckets: _*))
       .flatMap { r =>
         r.blocks.iterator.flatMap { b =>
@@ -935,7 +951,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     if (live.isEmpty) return empty
     val buckets = live.flatMap(t => local(t).buckets).distinct
     val matches = postingDocIds(live).select($"doc_id").distinct()
-    val fgPairs = spark.read.parquet(layout.segments).as[PostingRow]
+    val fgPairs = segmentsDS
       .where($"bucket".isin(buckets: _*))
       .flatMap { r =>
         r.blocks.iterator.flatMap { b =>
@@ -1023,7 +1039,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     val buckets = queryBuckets.values.flatten.toSeq.distinct
     if (buckets.isEmpty) return emptyPartial
 
-    val postings = spark.read.parquet(layout.segments).as[PostingRow]
+    val postings = segmentsDS
       .where($"term".isin(liveTerms: _*) && $"bucket".isin(buckets: _*))
     val doclens = doclensDS.where($"bucket".isin(buckets: _*))
 
@@ -1115,7 +1131,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     val buckets = queryBuckets.values.flatten.toSeq.distinct
     if (buckets.isEmpty) return emptyPartial
 
-    val postings = spark.read.parquet(layout.segments).as[PostingRow]
+    val postings = segmentsDS
       .where($"term".isin(liveTerms: _*) && $"bucket".isin(buckets: _*))
     val doclens = doclensDS.where($"bucket".isin(buckets: _*))
 
@@ -1302,7 +1318,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
         termsByQuery.map { case (q, ts) =>
           (q, ts, bucketsByQuery(q), docsByQuery(q))
         }.toArray)
-      spark.read.parquet(layout.positions).as[PosRow]
+      positionsDS
         .where($"term".isin(liveTerms: _*) && $"bucket".isin(buckets: _*))
         .groupByKey(_.bucket)
         .flatMapGroups { (bucket, it) =>
@@ -1401,7 +1417,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     val negLive = negTerms.filter(t => local.get(t).exists(_.df > 0L))
     val scanTerms = (termList ++ negLive).distinct
 
-    val postings = spark.read.parquet(layout.segments).as[PostingRow]
+    val postings = segmentsDS
       .where($"term".isin(scanTerms: _*) && $"bucket".isin(touchedBuckets: _*))
     val doclens = doclensDS
       .where($"bucket".isin(touchedBuckets: _*))
@@ -1489,7 +1505,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     val touchedBuckets = termList
       .flatMap(t => local.get(t).map(_.buckets.toSeq).getOrElse(Seq.empty))
       .distinct
-    val postings = spark.read.parquet(layout.segments).as[PostingRow]
+    val postings = segmentsDS
       .where($"term".isin(termList: _*) && $"bucket".isin(touchedBuckets: _*))
     val doclens = doclensDS.where($"bucket".isin(touchedBuckets: _*))
     val idfB = spark.sparkContext.broadcast(idfByTerm)
@@ -1642,7 +1658,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     if (buckets.isEmpty) return spark.emptyDataset[Hit].toDF("doc_id", "score")
 
     val scanTerms = live.flatten
-    val postings = spark.read.parquet(layout.segments).as[PostingRow]
+    val postings = segmentsDS
       .where($"term".isin(scanTerms: _*) && $"bucket".isin(buckets: _*))
     val doclens = doclensDS.where($"bucket".isin(buckets: _*))
     val groupOfB = spark.sparkContext.broadcast(groupOf)
@@ -1743,7 +1759,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     val topIds = top.map(_._1)
     val buckets = topIds.map(id => (id / stats.bucketSize).toInt).distinct.toSeq
     val idsB = spark.sparkContext.broadcast(topIds.toSet)
-    val tfRows = spark.read.parquet(layout.segments).as[PostingRow]
+    val tfRows = segmentsDS
       .where($"term".isin(live: _*) && $"bucket".isin(buckets: _*))
       .flatMap { r =>
         val p = PostingCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq)
@@ -2013,7 +2029,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     val perBucket =
       if (phraseToks.isEmpty) {
         val scanTerms = (liveScoring ++ negLive).distinct
-        spark.read.parquet(layout.segments).as[PostingRow]
+        segmentsDS
           .where($"term".isin(scanTerms.toSeq: _*) && $"bucket".isin(buckets: _*))
           .groupByKey(_.bucket)
           .cogroup(doclens.groupByKey(_.bucket)) { (bucket, posts, lens) =>
@@ -2050,7 +2066,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
           }
       } else {
         val scanTerms = (liveScoring ++ mustTerms ++ negLive ++ phraseToks).distinct
-        spark.read.parquet(layout.positions).as[PosRow]
+        positionsDS
           .where($"term".isin(scanTerms.toSeq: _*) && $"bucket".isin(buckets: _*))
           .groupByKey(_.bucket)
           .cogroup(doclens.groupByKey(_.bucket)) { (bucket, posts, lens) =>
@@ -2152,7 +2168,7 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
     // bucket list straight from the dictionary rows — no separate
     // distinct-bucket scan job
     val touched = liveTerms.flatMap(t => localRows(t).buckets.toSeq).distinct
-    val postings = spark.read.parquet(layout.segments).as[PostingRow]
+    val postings = segmentsDS
       .where($"term".isin(liveTerms: _*) && $"bucket".isin(touched: _*))
     val doclens = doclensDS
       .where($"bucket".isin(touched: _*))

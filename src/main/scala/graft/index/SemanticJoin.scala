@@ -194,7 +194,15 @@ object SemanticJoin {
     val prefsP = prefs.select(col("left_id"), col("pos"),
       col("right_id").as("p_right"), col("dist").as("p_dist"))
 
+    // per-left list length, joined into the state ONCE: preference
+    // positions are contiguous 1..n (posexplode), so "this left can still
+    // propose" ≡ pos ≤ npos, and the termination probe becomes a filter
+    // over the checkpointed state — the former probe evaluated the full
+    // round join a second time every round just to see if it was empty
+    val npos = prefs.groupBy(col("left_id")).agg(max(col("pos")).as("npos"))
     var state = left.select(col("id").as("left_id"))
+      .join(npos, Seq("left_id"), "left")
+      .na.fill(0, Seq("npos"))
       .withColumn("pos", lit(1))
       .withColumn("eng_right", lit(null).cast(LongType))
       .withColumn("eng_dist", lit(null).cast(DoubleType))
@@ -202,15 +210,15 @@ object SemanticJoin {
 
     var done = false
     while (!done) {
-      // free lefts see their proposal at the pointer; engaged lefts keep
-      // their engagement as their only candidate (proposal masked off)
-      val joined = state.join(prefsP, Seq("left_id", "pos"), "left")
-        .select(col("left_id"), col("pos"), col("eng_right"), col("eng_dist"),
-          when(col("eng_right").isNull, col("p_right")).as("prop_right"),
-          when(col("eng_right").isNull, col("p_dist")).as("prop_dist"))
-      if (joined.where(col("prop_right").isNotNull).isEmpty) {
+      if (state.where(col("eng_right").isNull && col("pos") <= col("npos")).isEmpty) {
         done = true
       } else {
+        // free lefts see their proposal at the pointer; engaged lefts keep
+        // their engagement as their only candidate (proposal masked off)
+        val joined = state.join(prefsP, Seq("left_id", "pos"), "left")
+          .select(col("left_id"), col("pos"), col("npos"), col("eng_right"), col("eng_dist"),
+            when(col("eng_right").isNull, col("p_right")).as("prop_right"),
+            when(col("eng_right").isNull, col("p_dist")).as("prop_dist"))
         // per right keep min (dist, left_id) among proposals ∪ engagements
         val wRight = Window.partitionBy(col("cand_right"))
           .orderBy(asc("cand_dist"), asc("left_id"))
@@ -218,7 +226,7 @@ object SemanticJoin {
           .withColumn("cand_right", coalesce(col("eng_right"), col("prop_right")))
           .withColumn("cand_dist", coalesce(col("eng_dist"), col("prop_dist")))
           .withColumn("rnk", row_number().over(wRight))
-          .select(col("left_id"),
+          .select(col("left_id"), col("npos"),
             (col("pos") + when(col("prop_right").isNotNull, 1).otherwise(0)).as("pos"),
             when(col("cand_right").isNotNull && col("rnk") === 1, col("cand_right")).as("eng_right"),
             when(col("cand_right").isNotNull && col("rnk") === 1, col("cand_dist")).as("eng_dist"))

@@ -96,7 +96,12 @@ object Dedup {
         .select(col("doc_id"), explode(shinglesOfToks(col("toks"))).as("shingle"))
         .distinct())
     shingleCache.trim()
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
+    // re-cache AND materialize when evicted: consumers reference this
+    // frame from several plan branches in one action, and a cold cache is
+    // recomputed per branch — one eager count turns that into one pass
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      df.cache(); df.count()
+    }
     df
   }
 
@@ -211,7 +216,10 @@ object Dedup {
   private[graft] def minhashTable(spark: SparkSession, dir: String): DataFrame = synchronized {
     val df = minhashCache.computeIfAbsent((spark, dir), _ => minhashes(spark, dir))
     minhashCache.trim()
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
+    // same eager-materialization rationale as shingleTable
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      df.cache(); df.count()
+    }
     df
   }
 
@@ -317,34 +325,67 @@ object Dedup {
       .union(pairs.select(col("right_id"), col("left_id")))
       .toDF("src", "dst")
       .cache()
-    var labels = docs(spark, dir)
-      .select(col("doc_id"), col("doc_id").as("group_id")).cache()
+    // materialize the edge cache with ONE action before the loop: the
+    // round-1 job otherwise references the cold cache from several plan
+    // branches at once and each branch recomputes the whole LSH
+    // candidate+verify pipeline (measured: round 1 ran ~3× the warm
+    // round cost before this)
+    edges.count()
+    // The fixpoint runs over EDGE-INCIDENT vertices only: a doc with no
+    // near-dup edge never receives a neighbor minimum and its jump is
+    // label(doc_id) = doc_id, so its label is doc_id at every round —
+    // re-attached via one final left join instead of riding every
+    // round's joins (shuffle |V_incident| + |edges| per round, not
+    // |corpus|; near-dup vertices are a small corpus fraction at scale).
+    // Labels of incident vertices are always reachable-vertex ids, hence
+    // themselves incident — the jump self-join stays total.
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .select(col("doc_id"), col("doc_id").as("group_id"))
     var converged = false
     var rounds = 0
     while (!converged) {
       rounds += 1
       require(rounds <= 40,
         "neardupGroups: label propagation did not converge in 40 rounds")
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("group_id").as("nbr_g")), "dst")
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("nbr_g")).as("nbr_min"))
-      val relaxed = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("group_id"))
+      // relax = min over own label ∪ neighbor labels as ONE union+agg
+      // (the former join+groupBy+join chain was a shuffle longer), with
+      // prev riding the own-label branch so convergence is a filter over
+      // the materialized round result — no separate change-count join.
+      // relaxed is EAGERLY localCheckpointed: the jump self-join
+      // references it twice, and without the barrier both branches
+      // recomputed the aggregation every round (the same double-compute
+      // the round-5 notes measured on this loop; a checkpoint, unlike
+      // the A/B'd cache, also truncates the per-round lineage).
+      val relaxed = labels.select(col("doc_id"), col("group_id").as("prev"),
+          col("group_id").as("lbl"))
+        .union(edges
+          .join(labels.select(col("doc_id").as("dst"), col("group_id").as("nl")), "dst")
+          .select(col("src").as("doc_id"), lit(null).cast("long").as("prev"),
+            col("nl").as("lbl")))
+        .groupBy(col("doc_id"))
+        .agg(min(col("lbl")).as("mid"), max(col("prev")).as("prev"))
+        .localCheckpoint(true)
+      // pointer jump: label(v) ← label(label(v)) over the materialized
+      // relaxed rows (labels are always vertex ids → the join is total)
       val next = relaxed.as("l")
-        .join(relaxed.select(col("doc_id").as("gid"), col("group_id").as("g2")),
-          col("l.group_id") === col("gid"))
-        .select(col("l.doc_id").as("doc_id"), col("g2").as("group_id"))
-        .cache()
-      val changed = next.as("n").join(labels.as("p"), "doc_id")
-        .where(col("n.group_id") =!= col("p.group_id")).count()
-      labels.unpersist()
-      labels = next
+        .join(relaxed.select(col("doc_id").as("gid"), col("mid").as("g2")),
+          col("l.mid") === col("gid"))
+        .select(col("l.doc_id").as("doc_id"), col("g2").as("group_id"),
+          col("l.prev").as("prev"))
+        .localCheckpoint(true)
+      val changed = next.where(col("group_id") =!= col("prev")).count()
+      if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
+        System.err.println(s"neardupGroups round $rounds changed=$changed")
+      labels = next.select(col("doc_id"), col("group_id"))
       converged = changed == 0L
     }
     edges.unpersist()
-    labels.orderBy(col("doc_id"))
+    docs(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"))
+      .orderBy(col("doc_id"))
   }
 
   /** Recursive-CTE twin of [[neardupGroups]]: min reachable doc_id over

@@ -1640,16 +1640,28 @@ object Fulltext {
     val d = docs(spark, dir)
     val rootA = s"$tmp/graft-mgen-a-$key"
     val rootB = s"$tmp/graft-mgen-b-$key"
-    IndexBuilder.build(spark, d.where(col("doc_id") % 2 === 0), rootA,
-      idCol = "doc_id", textCol = "text")
-    IndexBuilder.build(spark, d.where(col("doc_id") % 2 === 1), rootB,
-      idCol = "doc_id", textCol = "text")
-    if (positional) {
-      IndexBuilder.buildPositions(spark, d.where(col("doc_id") % 2 === 0), rootA,
+    // the two generations are independent builds over disjoint roots:
+    // run generation A on a driver thread while B runs inline, so each
+    // build's stage tails back-fill the executor slots the other leaves
+    // idle (same overlap argument as the doclens/segments stages; commit
+    // markers make a half-done concurrent attempt resume exactly like a
+    // half-done sequential one)
+    val fa = IndexBuilder.stagePool.submit(new Runnable {
+      override def run(): Unit = {
+        IndexBuilder.build(spark, d.where(col("doc_id") % 2 === 0), rootA,
+          idCol = "doc_id", textCol = "text")
+        if (positional)
+          IndexBuilder.buildPositions(spark, d.where(col("doc_id") % 2 === 0), rootA,
+            idCol = "doc_id", textCol = "text")
+      }
+    })
+    try {
+      IndexBuilder.build(spark, d.where(col("doc_id") % 2 === 1), rootB,
         idCol = "doc_id", textCol = "text")
-      IndexBuilder.buildPositions(spark, d.where(col("doc_id") % 2 === 1), rootB,
-        idCol = "doc_id", textCol = "text")
-    }
+      if (positional)
+        IndexBuilder.buildPositions(spark, d.where(col("doc_id") % 2 === 1), rootB,
+          idCol = "doc_id", textCol = "text")
+    } finally fa.get()
     Seq(rootA, rootB)
   }
 

@@ -640,18 +640,22 @@ object TextAnalysis {
     */
   def boilerplate(spark: SparkSession, dir: String,
       minDocs: Long = 3L): DataFrame = {
-    val tok = docs(spark, dir)
-      .select(col("doc_id"), Tokenizer.tokensCol(col("text")).as("toks"))
-      .where(size(col("toks")) >= GramN)
+    // the (doc, gram) partial-agg is EAGERLY materialized once
+    // (localCheckpoint): three consumers below — the gram-df branch, the
+    // join-back branch, and the per-doc totals — otherwise each re-ran
+    // the corpus tokenize + 5-gram explode; n_grams = Σ c reproduces
+    // len(toks) − 4 exactly (every gram position is counted once), so
+    // the former third tokenize pass is gone too
     val perDocGram = gramRows(spark, dir)
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val boilerGrams = perDocGram
       .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
       .where(col("nd") >= minDocs)
       .select(col("gram"))
     val boilerPerDoc = perDocGram.join(boilerGrams, "gram")
       .groupBy(col("doc_id")).agg(sum(col("c")).as("n_boiler"))
-    tok.select(col("doc_id"), (size(col("toks")) - (GramN - 1)).cast("long").as("n_grams"))
+    perDocGram.groupBy(col("doc_id")).agg(sum(col("c")).as("n_grams"))
       .join(boilerPerDoc, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_boiler"))
       .withColumn("boiler_bp", expr("(20000 * n_boiler + n_grams) div (2 * n_grams)"))
@@ -686,17 +690,22 @@ object TextAnalysis {
     */
   def decontaminate(spark: SparkSession, dir: String,
       evalMod: Long = 20L): DataFrame = {
-    val grams = gramRows(spark, dir)
-    val trainGrams = grams.where(col("doc_id") % evalMod =!= 0)
-      .select(col("gram")).distinct()
-    val evalPerGram = grams.where(col("doc_id") % evalMod === 0)
+    // ONE tokenize + explode + (doc, gram) partial-agg, eagerly
+    // materialized — the train-distinct branch, the eval branch, and the
+    // per-doc totals all read it (each previously re-exploded the
+    // corpus); the split filter is a cheap predicate over the compact
+    // aggregated rows, and n_grams = Σ c over an eval doc's grams equals
+    // len(toks) − 4 exactly (gram positions counted once)
+    val perDocGram = gramRows(spark, dir)
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val trainGrams = perDocGram.where(col("doc_id") % evalMod =!= 0)
+      .select(col("gram")).distinct()
+    val evalPerGram = perDocGram.where(col("doc_id") % evalMod === 0)
     val hits = evalPerGram.join(trainGrams, "gram")
       .groupBy(col("doc_id")).agg(sum(col("c")).as("n_hit"))
-    docs(spark, dir)
-      .select(col("doc_id"), Tokenizer.tokensCol(col("text")).as("toks"))
-      .where(col("doc_id") % evalMod === 0 && size(col("toks")) >= GramN)
-      .select(col("doc_id"), (size(col("toks")) - (GramN - 1)).cast("long").as("n_grams"))
+    evalPerGram
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("n_grams"))
       .join(hits, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_hit"))
       .withColumn("contaminated", when(col("n_hit") > 0, 1L).otherwise(0L))
