@@ -25,14 +25,25 @@ final class MultiSearcher(spark: SparkSession, roots: Seq[String]) {
 
   val searchers: Seq[Searcher] = roots.map(new Searcher(spark, _))
 
+  /** Run one thunk per shard on driver threads and collect in shard
+    * order: shard-side planning (pruned dictionary reads) and per-shard
+    * frame construction are independent small jobs, so running them
+    * concurrently overlaps their job-launch floors (results are
+    * order-preserved, hence identical to the sequential map).
+    */
+  private def perShard[T](fs: Seq[() => T]): Seq[T] =
+    fs.map { f =>
+      IndexBuilder.stagePool.submit(
+        new java.util.concurrent.Callable[T] { override def call(): T = f() })
+    }.map(_.get())
+
   val nDocs: Long = searchers.map(_.stats.nDocs).sum
   private val totalTokens: Long = searchers.map(_.stats.totalTokens).sum
   val avgdl: Double = totalTokens.toDouble / nDocs.toDouble
 
   /** Global df per query term = sum of per-generation dfs. */
   def globalStatsFor(terms: Seq[String]): GlobalStats = {
-    val df = searchers
-      .map(_.termDfs(terms))
+    val df = perShard(searchers.map(se => () => se.termDfs(terms)))
       .foldLeft(Map.empty[String, Long]) { (acc, m) =>
         m.foldLeft(acc) { case (a, (t, d)) => a.updated(t, a.getOrElse(t, 0L) + d) }
       }
@@ -46,8 +57,7 @@ final class MultiSearcher(spark: SparkSession, roots: Seq[String]) {
       allow: Option[Long => Boolean] = None): DataFrame = {
     val terms = Tokenizer.tokenize(query).distinct.sorted
     val g = globalStatsFor(terms)
-    searchers
-      .map(_.search(query, k, exact, allow, Some(g)))
+    perShard(searchers.map(se => () => se.search(query, k, exact, allow, Some(g))))
       .reduce(_ union _)
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
@@ -70,7 +80,7 @@ final class MultiSearcher(spark: SparkSession, roots: Seq[String]) {
       .flatMap { case (_, q) => Tokenizer.tokenize(q) }.distinct.sorted
     val g = globalStatsFor(allTerms)
     Searcher.finishMany(
-      searchers.map(_.searchManyBuckets(queries, k, Some(g), allow = allow))
+      perShard(searchers.map(se => () => se.searchManyBuckets(queries, k, Some(g), allow = allow)))
         .reduce(_ union _), k)
   }
 
@@ -86,7 +96,7 @@ final class MultiSearcher(spark: SparkSession, roots: Seq[String]) {
       .flatMap { case (_, q) => Tokenizer.tokenize(q) }.distinct.sorted
     val g = globalStatsFor(allTerms)
     Searcher.finishMany(
-      searchers.map(_.conjunctiveManyBuckets(queries, k, Some(g)))
+      perShard(searchers.map(se => () => se.conjunctiveManyBuckets(queries, k, Some(g))))
         .reduce(_ union _), k)
   }
 
@@ -95,14 +105,14 @@ final class MultiSearcher(spark: SparkSession, roots: Seq[String]) {
     * per-shard results IS the union-corpus answer.
     */
   def phraseMany(phrases: Seq[(Int, String)]): DataFrame =
-    searchers.map(_.phraseMany(phrases)).reduce(_ union _)
+    perShard(searchers.map(se => () => se.phraseMany(phrases))).reduce(_ union _)
       .orderBy(col("phrase_id"), col("doc_id"))
 
   /** Index-only proximity search across generations — same disjoint-union
     * argument as [[phraseMany]].
     */
   def proximityMany(queries: Seq[(Int, String, Int)]): DataFrame =
-    searchers.map(_.proximityMany(queries)).reduce(_ union _)
+    perShard(searchers.map(se => () => se.proximityMany(queries))).reduce(_ union _)
       .orderBy(col("query_id"), col("doc_id"))
 
   /** Index-only ordered-span search across generations — containment
@@ -111,7 +121,7 @@ final class MultiSearcher(spark: SparkSession, roots: Seq[String]) {
     * single-index answer (same argument as [[phraseMany]]).
     */
   def spanOrderedMany(queries: Seq[(Int, String, Int)]): DataFrame =
-    searchers.map(_.spanOrderedMany(queries)).reduce(_ union _)
+    perShard(searchers.map(se => () => se.spanOrderedMany(queries))).reduce(_ union _)
       .orderBy(col("query_id"), col("doc_id"))
 
   /** Index-only hit counting across generations: per-shard (n_docs,
@@ -120,7 +130,7 @@ final class MultiSearcher(spark: SparkSession, roots: Seq[String]) {
     * distinct counts add inside one index).
     */
   def countMany(queries: Seq[(Int, String)]): DataFrame =
-    searchers.map(_.countMany(queries)).reduce(_ union _)
+    perShard(searchers.map(se => () => se.countMany(queries))).reduce(_ union _)
       .groupBy(col("query_id"))
       .agg(org.apache.spark.sql.functions.sum(col("n_docs")).as("n_docs"),
         org.apache.spark.sql.functions.sum(col("total_tf")).as("total_tf"))

@@ -261,51 +261,48 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
           r.df == p.size.toLong && asc && inBucket)
       }.toDF("term", "bucket", "n_postings", "sum_tf", "ok")
       .cache()
+    // materialize the decode cache with the scalars pass; the three
+    // remaining verification passes (dict df, doclens norms, positions)
+    // are independent of each other and run as CONCURRENT jobs so each
+    // one's stage tail back-fills the others' idle executor slots
     val scalars = perRow.agg(
       sum(col("n_postings")).as("n_postings"),
       sum(col("sum_tf")).as("total_tokens"),
       countDistinct(col("term")).as("n_terms"),
       sum(when(!col("ok"), 1L).otherwise(0L)).as("bad_df")).head()
+    val pool = IndexBuilder.stagePool
+    def submit[T](f: => T): java.util.concurrent.Future[T] =
+      pool.submit(new java.util.concurrent.Callable[T] { override def call(): T = f })
     // dictionary df == sum of bucket dfs, term sets equal
-    val dictAgg = perRow.groupBy(col("term"))
-      .agg(sum(col("n_postings")).as("seg_df"))
-    val badDict = dictDS.select(col("term"), col("df"))
-      .join(dictAgg, Seq("term"), "full_outer")
-      .where(col("df").isNull || col("seg_df").isNull || col("df") =!= col("seg_df"))
-      .count()
-    // per-doc decoded tf sums == doclens norms
-    val docTf = segmentsDS
-      .flatMap { r =>
-        val p = PostingCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq)
-        p.docIds.iterator.zip(p.tfs.iterator).map { case (d, tf) => (d, tf.toLong) }
-      }.toDF("doc_id", "tf")
-      .groupBy(col("doc_id")).agg(sum(col("tf")).as("sum_tf"))
-    val dlFlat = doclensDS
-      .flatMap(r => r.docIds.iterator.zip(r.lens.iterator))
-      .toDF("doc_id", "dl")
-    // one pass: the doclens row count and the norm mismatches both fall
-    // out of the same full-outer join (the separate dlFlat.count() job
-    // re-read and re-flattened every doclens row)
-    val dlAgg = dlFlat.join(docTf, Seq("doc_id"), "full_outer")
-      .agg(
-        sum(when(coalesce(col("dl"), lit(0L)) =!= coalesce(col("sum_tf"), lit(0L)), 1L)
-          .otherwise(0L)).as("bad"),
-        sum(when(col("dl").isNotNull, 1L).otherwise(0L)).as("n_docs"))
-      .head()
-    val badDoclen = if (dlAgg.isNullAt(0)) 0L else dlAgg.getLong(0)
-    val nDocs = if (dlAgg.isNullAt(1)) 0L else dlAgg.getLong(1)
-    val nPostings = scalars.getLong(0)
-    val totalTokens = scalars.getLong(1)
-    val nTerms = scalars.getLong(2)
-    val badDf = scalars.getLong(3)
-    perRow.unpersist()
-    // meta nDocs counts the whole corpus; doclens only docs with ≥1
-    // token (norms derive from tf), so ≥ is the true invariant there
-    val badMeta =
-      Seq(stats.nDocs >= nDocs, stats.totalTokens == totalTokens,
-        stats.nTerms == nTerms, stats.totalPostings == nPostings)
-        .count(!_).toLong
-    val badPos =
+    val badDictF = submit {
+      val dictAgg = perRow.groupBy(col("term"))
+        .agg(sum(col("n_postings")).as("seg_df"))
+      dictDS.select(col("term"), col("df"))
+        .join(dictAgg, Seq("term"), "full_outer")
+        .where(col("df").isNull || col("seg_df").isNull || col("df") =!= col("seg_df"))
+        .count()
+    }
+    // per-doc decoded tf sums == doclens norms; the doclens row count
+    // falls out of the same full-outer join (the separate dlFlat.count()
+    // job re-read and re-flattened every doclens row)
+    val dlAggF = submit {
+      val docTf = segmentsDS
+        .flatMap { r =>
+          val p = PostingCodec.decodeBlocks(r.blocks.map(_.bytes).toSeq)
+          p.docIds.iterator.zip(p.tfs.iterator).map { case (d, tf) => (d, tf.toLong) }
+        }.toDF("doc_id", "tf")
+        .groupBy(col("doc_id")).agg(sum(col("tf")).as("sum_tf"))
+      val dlFlat = doclensDS
+        .flatMap(r => r.docIds.iterator.zip(r.lens.iterator))
+        .toDF("doc_id", "dl")
+      dlFlat.join(docTf, Seq("doc_id"), "full_outer")
+        .agg(
+          sum(when(coalesce(col("dl"), lit(0L)) =!= coalesce(col("sum_tf"), lit(0L)), 1L)
+            .otherwise(0L)).as("bad"),
+          sum(when(col("dl").isNotNull, 1L).otherwise(0L)).as("n_docs"))
+        .head()
+    }
+    val badPosF = submit {
       if (!checkPositions) 0L
       else {
         val posFlat = positionsDS
@@ -326,6 +323,23 @@ final class Searcher(spark: SparkSession, root: String, cacheHot: Boolean = fals
             col("n_pos") =!= col("tf") || !col("pos_ok"))
           .count()
       }
+    }
+    val badDict = badDictF.get()
+    val dlAgg = dlAggF.get()
+    val badPos = badPosF.get()
+    val badDoclen = if (dlAgg.isNullAt(0)) 0L else dlAgg.getLong(0)
+    val nDocs = if (dlAgg.isNullAt(1)) 0L else dlAgg.getLong(1)
+    val nPostings = scalars.getLong(0)
+    val totalTokens = scalars.getLong(1)
+    val nTerms = scalars.getLong(2)
+    val badDf = scalars.getLong(3)
+    perRow.unpersist()
+    // meta nDocs counts the whole corpus; doclens only docs with ≥1
+    // token (norms derive from tf), so ≥ is the true invariant there
+    val badMeta =
+      Seq(stats.nDocs >= nDocs, stats.totalTokens == totalTokens,
+        stats.nTerms == nTerms, stats.totalPostings == nPostings)
+        .count(!_).toLong
     Seq((nDocs, totalTokens, nTerms, nPostings, badDf, badDict, badDoclen,
       badMeta, badPos))
       .toDF("n_docs", "total_tokens", "n_terms", "n_postings", "bad_df",

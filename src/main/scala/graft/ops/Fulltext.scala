@@ -23,6 +23,25 @@ object Fulltext {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** Construct per-query frames on driver threads, then union. The
+    * multi-query entries pay 1-3 driver-side planning jobs PER query
+    * (pruned dictionary reads, wildcard/regexp expansion scans) before
+    * the final collect; constructing the branches concurrently runs
+    * those small jobs side by side (concurrent jobs back-fill idle
+    * executor slots) instead of serializing their job-launch floors.
+    * Results are identical: each branch is the same single-query frame,
+    * and union order follows the input sequence.
+    */
+  private def parUnionAll(parts: Seq[() => DataFrame]): DataFrame = {
+    val futs = parts.map { p =>
+      graft.index.IndexBuilder.stagePool.submit(
+        new java.util.concurrent.Callable[DataFrame] {
+          override def call(): DataFrame = p()
+        })
+    }
+    futs.map(_.get()).reduce(_ unionAll _)
+  }
+
   /** (doc_id, term, tf) — the tokenize→explode→agg stage. */
   def tfTable(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
@@ -450,10 +469,10 @@ object Fulltext {
     */
   def engWildcardSearch(spark: SparkSession, dir: String): DataFrame = {
     val s = indexFor(spark, dir)
-    val per = WildcardQueries.map { case (qid, p) =>
-      s.searchWildcard(p, K)
+    val per = parUnionAll(WildcardQueries.map { case (qid, p) =>
+      () => s.searchWildcard(p, K)
         .select(lit(qid).as("query_id"), col("doc_id"), col("score"))
-    }.reduce(_ unionAll _)
+    })
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
     per
@@ -610,10 +629,10 @@ object Fulltext {
     */
   def engRegexpSearch(spark: SparkSession, dir: String): DataFrame = {
     val s = indexFor(spark, dir)
-    val per = RegexpQueries.map { case (qid, p) =>
-      s.searchRegexp(p, K)
+    val per = parUnionAll(RegexpQueries.map { case (qid, p) =>
+      () => s.searchRegexp(p, K)
         .select(lit(qid).as("query_id"), col("doc_id"), col("score"))
-    }.reduce(_ unionAll _)
+    })
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
     per
@@ -1011,10 +1030,10 @@ object Fulltext {
     */
   def engBm25Not(spark: SparkSession, dir: String): DataFrame = {
     val s = indexFor(spark, dir)
-    val per = NotQueries.map { case (qid, pos, neg) =>
-      s.searchNot(pos, neg, K)
+    val per = parUnionAll(NotQueries.map { case (qid, pos, neg) =>
+      () => s.searchNot(pos, neg, K)
         .select(lit(qid).as("query_id"), col("doc_id"), col("score"))
-    }.reduce(_ unionAll _)
+    })
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
     per
@@ -1086,10 +1105,10 @@ object Fulltext {
     */
   def engBoolQuery(spark: SparkSession, dir: String): DataFrame = {
     val s = positionalIndexFor(spark, dir)
-    val per = BoolQueries.map { case (qid, m, sh, n, p) =>
-      s.searchBool(K, must = m, should = sh, mustNot = n, phrase = p)
+    val per = parUnionAll(BoolQueries.map { case (qid, m, sh, n, p) =>
+      () => s.searchBool(K, must = m, should = sh, mustNot = n, phrase = p)
         .select(lit(qid).as("query_id"), col("doc_id"), col("score"))
-    }.reduce(_ unionAll _)
+    })
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
     per
@@ -1428,14 +1447,16 @@ object Fulltext {
     val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
     val tmp = sys.props("java.io.tmpdir")
     val d = docs(spark, dir)
-    Seq(0, 1).map { g =>
-      val root = s"$tmp/graft-lvl-$g-$key"
-      IndexBuilder.build(spark, d.where(col("doc_id") % 2 === g), root,
-        idCol = "doc_id", textCol = "text", fixedBucketSize = LevelsBucketSize)
-      new Searcher(spark, root).levelsStats()
-        .select(lit(g).as("generation"), col("bucket"), col("n_docs"),
-          col("n_tokens"), col("n_terms"), col("n_postings"))
-    }.reduce(_ unionAll _)
+    parUnionAll(Seq(0, 1).map { g =>
+      () => {
+        val root = s"$tmp/graft-lvl-$g-$key"
+        IndexBuilder.build(spark, d.where(col("doc_id") % 2 === g), root,
+          idCol = "doc_id", textCol = "text", fixedBucketSize = LevelsBucketSize)
+        new Searcher(spark, root).levelsStats()
+          .select(lit(g).as("generation"), col("bucket"), col("n_docs"),
+            col("n_tokens"), col("n_terms"), col("n_postings"))
+      }
+    })
       .orderBy(col("generation"), col("bucket"))
   }
 

@@ -406,9 +406,13 @@ object TextAnalysis {
   def tokenBudget(spark: SparkSession, dir: String,
       budgetTokens: Long = 3000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // one row per doc, EAGERLY materialized: the run-table branch and the
+    // final per-doc join both consume it, and each otherwise re-ran the
+    // whole corpus tokenize + quality pass
     val q = quality(spark, dir)
       .join(docs(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("lang"), col("quality_bp"), col("n_tokens"))
+      .localCheckpoint(true)
     // level 1: bounded run table + cumulative threshold over ≤ 10001
     // rows per stratum; runs wholly past the budget never leave here
     val wRun = Window.partitionBy(col("lang"))
@@ -783,13 +787,23 @@ object TextAnalysis {
     */
   def rarity(spark: SparkSession, dir: String): DataFrame = {
     val nDocs = docs(spark, dir).count()
-    val tok = docs(spark, dir)
+    // the (doc, term, tf) partial-agg is the compact shared intermediate
+    // (EAGERLY materialized): the df branch and the join-back both read
+    // it — each previously re-ran the corpus tokenize + explode — and it
+    // shuffles tf rows, not raw token positions. df = count of (doc,
+    // term) rows (they are distinct by construction); per-doc sums
+    // reweight by tf: n_tokens = Σ tf and sum_df = Σ tf·df, exactly the
+    // per-position sums (integers — regrouping cannot change a value).
+    val tfRows = docs(spark, dir)
       .select(col("doc_id"), explode(Tokenizer.tokensCol(col("text"))).as("term"))
-    val dfT = tok.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-    tok.join(dfT, "term")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dfT = tfRows.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    tfRows.join(dfT, "term")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("df")).as("sum_df"))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("tf") * col("df")).as("sum_df"))
       .withColumn("mean_df_bp",
         expr(s"(20000 * sum_df + n_tokens * ${nDocs}L) div (2 * n_tokens * ${nDocs}L)"))
       .orderBy(col("doc_id"))
@@ -808,9 +822,13 @@ object TextAnalysis {
     */
   def qualityMedian(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // one (lang, quality_bp) row per doc, EAGERLY materialized: the
+    // histogram branch and the kept-count join both consume it — each
+    // otherwise re-ran the corpus tokenize + quality pass
     val q = quality(spark, dir)
       .join(docs(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
       .select(col("lang"), col("quality_bp"))
+      .localCheckpoint(true)
     val hist = q.groupBy(col("lang"), col("quality_bp")).agg(count(lit(1)).as("c"))
     val wCum = Window.partitionBy(col("lang")).orderBy(asc("quality_bp"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
