@@ -76,12 +76,27 @@ object IndexBuilder {
       targetBuckets: Int = 0,
       knownNDocs: Long = -1L,
       fixedBucketSize: Long = 0L): IndexStats = {
+    // fully-committed root: a resume-no-op must cost ZERO jobs — the
+    // former shape still ran the corpus count (and a tf aggregate)
+    // before discovering every stage was committed, charging two jobs
+    // to every caller that reuses a cached index
+    if (fullyCommitted(root)) return Meta.readStats(root)
     val tf = corpus
       .select(col(idCol).as("doc_id"), explode(Tokenizer.tokensCol(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val n = if (knownNDocs >= 0) knownNDocs else corpus.count()
     buildFromTf(spark, tf, n, root, targetBuckets, fixedBucketSize)
+  }
+
+  /** All four build stages committed at `root` (the zero-job reuse
+    * test — stats.properties is written with the dict commit, so
+    * [[Meta.readStats]] is authoritative exactly then).
+    */
+  private def fullyCommitted(root: String): Boolean = {
+    val layout = Layout(root)
+    Seq("tokens", "doclens", "segments", "dict")
+      .forall(st => Files.exists(layout.statusFile(st)))
   }
 
   /** Build the index from an existing tf table (doc_id, term, tf) — the
@@ -100,6 +115,9 @@ object IndexBuilder {
       fixedBucketSize: Long = 0L): IndexStats = {
     require(targetBuckets == 0 || fixedBucketSize == 0L,
       "targetBuckets and fixedBucketSize are alternative geometry pins")
+    // zero-job resume for fully-committed roots (same rationale as
+    // [[build]] — the scalars aggregate below otherwise runs per call)
+    if (fullyCommitted(root)) return Meta.readStats(root)
     import spark.implicits._
     val layout = Layout(root)
     Files.createDirectories(Paths.get(root))

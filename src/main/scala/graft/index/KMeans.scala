@@ -69,7 +69,8 @@ object KMeans {
     val pts = points
       .select(col("id"), col("vec").cast("array<double>").as("vec"))
       .cache()
-    pts.count()
+    // no separate materialization count: the init collect below is the
+    // first action and populates the cache in the same single pass
 
     // deterministic init: the k lowest-id points, ranked on the DRIVER
     // (≤ k rows) — a partition-less Window here would funnel the init

@@ -37,8 +37,15 @@ object TextAnalysis {
     * `round()` on binary doubles differs between engines at exact .5
     * boundaries, which ratios of small integers hit routinely.
     */
-  def quality(spark: SparkSession, dir: String): DataFrame = {
-    val tok = docs(spark, dir)
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    qualityOf(docs(spark, dir))
+
+  /** [[quality]] over an arbitrary documents frame — per-doc arithmetic,
+    * so restricting the input restricts the output rows and changes no
+    * surviving value (the pushdown hook [[curate]] uses).
+    */
+  private def qualityOf(d: DataFrame): DataFrame = {
+    val tok = d
       .select(col("doc_id"), explode(Tokenizer.tokensCol(col("text"))).as("term"))
     tok.groupBy(col("doc_id"))
       .agg(
@@ -331,7 +338,11 @@ object TextAnalysis {
     val rep = filtered
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("doc_id"))
-    val q = quality(spark, dir).select(col("doc_id"), col("quality_bp"))
+    // quality is per-doc and the inner join keeps only rep ⊆ filtered
+    // docs: scoring the lang-filtered scan is value-identical while the
+    // lang predicate pushes into the tokenize pass (PushedFilters at the
+    // parquet scan instead of a full-corpus quality aggregation)
+    val q = qualityOf(filtered).select(col("doc_id"), col("quality_bp"))
     rep.join(q, "doc_id")
       .where(col("quality_bp") >= minQualityBp)
       .select(col("doc_id"), col("text_md5"), col("quality_bp"))
