@@ -98,3 +98,29 @@ object BenchExtra {
     spark.stop()
   }
 }
+
+/** Dev tool: time the four prewarm components individually (cold JVM,
+  * fresh caches expected — rm /tmp/graft-* first for a true cold run).
+  */
+object TimePrewarm {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val cpus = if (args.length > 1) args(1) else "32"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"PREWARM $name sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    time("indexFor") { graft.ops.Fulltext.indexFor(spark, sfDir) }
+    time("bm25MultiGen") { graft.ops.Fulltext.engBm25MultiGen(spark, sfDir).collect() }
+    time("ivfIndexFor") { graft.ops.Similarity.ivfIndexFor(spark, sfDir) }
+    time("semJoinIvfFor") { graft.ops.Similarity.semJoinIvfFor(spark, sfDir) }
+    spark.stop()
+  }
+}

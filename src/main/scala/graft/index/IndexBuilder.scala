@@ -81,7 +81,12 @@ object IndexBuilder {
     // before discovering every stage was committed, charging two jobs
     // to every caller that reuses a cached index
     if (fullyCommitted(root)) return Meta.readStats(root)
+    // corpora often land as few (even single) single-row-group parquet
+    // files, where the tokenize + explode + partial-agg map side would
+    // run in ONE scan task — spread the raw rows first (deterministic
+    // doc-id hash; width follows the session shuffle-partition config)
     val tf = corpus
+      .repartition(spark.sessionState.conf.numShufflePartitions, col(idCol))
       .select(col(idCol).as("doc_id"), explode(Tokenizer.tokensCol(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -93,7 +98,7 @@ object IndexBuilder {
     * test — stats.properties is written with the dict commit, so
     * [[Meta.readStats]] is authoritative exactly then).
     */
-  private def fullyCommitted(root: String): Boolean = {
+  private[graft] def fullyCommitted(root: String): Boolean = {
     val layout = Layout(root)
     Seq("tokens", "doclens", "segments", "dict")
       .forall(st => Files.exists(layout.statusFile(st)))
@@ -355,6 +360,9 @@ object IndexBuilder {
     val t0 = System.nanoTime()
     val nPart = math.max(buckets, spark.sessionState.conf.numShufflePartitions)
     corpus
+      // spread the scan before the posexplode (same single-task-input
+      // rationale as the frequency build)
+      .repartition(spark.sessionState.conf.numShufflePartitions, col(idCol))
       .select(col(idCol).as("doc_id"),
         posexplode(Tokenizer.tokensCol(col(textCol))).as(Seq("pos", "term")))
       .withColumn("bucket", (col("doc_id") / bucketSize).cast("int"))

@@ -19,8 +19,11 @@ import graft.analyze.Tokenizer
   */
 object Dedup {
 
+  // spread the (few-file, single-row-group) corpus scan before the
+  // shingle/signature passes — see TextAnalysis.docs for the rationale
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
 
   /** Portable 32-bit hash: md5 → first 8 hex → bigint. */
   def hash32(c: Column): Column =

@@ -20,8 +20,11 @@ object Fulltext {
   final val RefQuery: Seq[String] = Seq("spark", "merge", "dup")
   final val K = 10
 
+  // spread the (few-file, single-row-group) corpus scan before the
+  // tokenize-heavy consumers — see TextAnalysis.docs for the rationale
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
 
   /** Construct per-query frames on driver threads, then union. The
     * multi-query entries pay 1-3 driver-side planning jobs PER query
@@ -207,6 +210,31 @@ object Fulltext {
   private def indexRoot(dir: String): String = {
     val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
     s"${sys.props("java.io.tmpdir")}/graft-index-$key"
+  }
+
+  /** Build a doc_id-parity generation index at `root`, reusing the MAIN
+    * index's persisted tokens table when it is committed: a generation's
+    * tf table is exactly the parity filter of the full tf table
+    * (tokenization is per-doc), so the corpus re-tokenize + explode +
+    * aggregate is replaced by one filtered parquet read. N (BM25's
+    * corpus cardinality, zero-token docs included) still comes from the
+    * corpus itself — it is not derivable from tf. Falls back to the
+    * ordinary from-corpus build when no main tokens table exists.
+    */
+  private def genBuild(spark: SparkSession, dir: String, root: String,
+      parity: Int, fixedBucketSize: Long = 0L): Unit = {
+    if (IndexBuilder.fullyCommitted(root)) return
+    val half = docs(spark, dir).where(col("doc_id") % 2 === parity)
+    val main = indexRoot(dir)
+    if (java.nio.file.Files.exists(
+        IndexBuilder.Layout(main).statusFile("tokens"))) {
+      val tf = spark.read.parquet(IndexBuilder.Layout(main).tokens)
+        .where(col("doc_id") % 2 === parity)
+      IndexBuilder.buildFromTf(spark, tf, half.count(), root,
+        fixedBucketSize = fixedBucketSize)
+    } else
+      IndexBuilder.build(spark, half, root, idCol = "doc_id", textCol = "text",
+        fixedBucketSize = fixedBucketSize)
   }
 
   /** Index-only phrase search over the fixed probe phrases
@@ -1450,8 +1478,7 @@ object Fulltext {
     parUnionAll(Seq(0, 1).map { g =>
       () => {
         val root = s"$tmp/graft-lvl-$g-$key"
-        IndexBuilder.build(spark, d.where(col("doc_id") % 2 === g), root,
-          idCol = "doc_id", textCol = "text", fixedBucketSize = LevelsBucketSize)
+        genBuild(spark, dir, root, parity = g, fixedBucketSize = LevelsBucketSize)
         new Searcher(spark, root).levelsStats()
           .select(lit(g).as("generation"), col("bucket"), col("n_docs"),
             col("n_tokens"), col("n_terms"), col("n_postings"))
@@ -1669,16 +1696,14 @@ object Fulltext {
     // half-done sequential one)
     val fa = IndexBuilder.stagePool.submit(new Runnable {
       override def run(): Unit = {
-        IndexBuilder.build(spark, d.where(col("doc_id") % 2 === 0), rootA,
-          idCol = "doc_id", textCol = "text")
+        genBuild(spark, dir, rootA, parity = 0)
         if (positional)
           IndexBuilder.buildPositions(spark, d.where(col("doc_id") % 2 === 0), rootA,
             idCol = "doc_id", textCol = "text")
       }
     })
     try {
-      IndexBuilder.build(spark, d.where(col("doc_id") % 2 === 1), rootB,
-        idCol = "doc_id", textCol = "text")
+      genBuild(spark, dir, rootB, parity = 1)
       if (positional)
         IndexBuilder.buildPositions(spark, d.where(col("doc_id") % 2 === 1), rootB,
           idCol = "doc_id", textCol = "text")

@@ -13,8 +13,24 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Fact tables land as few single-row-group files — spread them after
+    * the read so per-row work (decimal aggregates, date parsing, join
+    * map sides) is not serialized through one scan task; dims stay
+    * unrepartitioned (they broadcast). Keys are the tables' primary
+    * ids — deterministic hash partitioning, width from the session's
+    * shuffle-partition config.
+    */
+  private val spreadKey = Map(
+    "lineitem" -> "l_orderkey", "orders" -> "o_orderkey", "events" -> "event_id")
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    spreadKey.get(name) match {
+      case Some(k) =>
+        df.repartition(spark.sessionState.conf.numShufflePartitions, col(k))
+      case None => df
+    }
+  }
 
   /** Pricing summary (TPC-H Q1 shape): one wide aggregation, map-side
     * partial agg — the canonical "scales by adding executors" operator.

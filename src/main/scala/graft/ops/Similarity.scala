@@ -590,10 +590,16 @@ object Similarity {
       val pts0 = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
       val pts = maxId.map(m => pts0.where(col("id") < m)).getOrElse(pts0)
       val km = graft.index.KMeans.fit(spark, pts, k = nlist, iterations = IvfKmeansIters)
-      km.centroids.write.mode("overwrite").parquet(s"$root/centroids")
+      // the two outputs are independent: write the (tiny) centroids on a
+      // driver thread while the cell-partitioned assignments write runs
+      val fc = graft.index.IndexBuilder.stagePool.submit(new Runnable {
+        override def run(): Unit =
+          km.centroids.write.mode("overwrite").parquet(s"$root/centroids")
+      })
       // assignments partitioned BY CELL: a probe reads only its cells'
       // files (partition pruning), the IVF point at scale
-      km.assignments.write.mode("overwrite").partitionBy("cid").parquet(s"$root/assignments")
+      try km.assignments.write.mode("overwrite").partitionBy("cid").parquet(s"$root/assignments")
+      finally fc.get()
       Files.writeString(marker, "ok")
       // everything is on disk now — drop the fit's result caches
       km.centroids.unpersist()

@@ -12,8 +12,16 @@ import graft.analyze.Tokenizer
   */
 object TextAnalysis {
 
+  // the corpus lands as few (often ONE) single-row-group parquet files,
+  // so an un-repartitioned scan runs every per-row tokenize/gram/hash
+  // pass in one task until the first exchange — spread it immediately
+  // after the read (guide: repartition unsplittable inputs), keyed by
+  // doc_id (deterministic hash, no sort-before-repartition), width from
+  // the session's shuffle-partition config (scale-adaptive, not a local
+  // constant); the shuffled bytes are only the raw text rows
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
 
   final val Stopwords = Seq("the", "a", "of", "to", "and", "in")
   private val stopwordsSqlList = Stopwords.map(s => s"'$s'").mkString(", ")
