@@ -59,13 +59,23 @@ object KMeans {
     *   a pure function of the data) forbids. Callers wanting a time
     *   bound should bound `iterations` instead.
     */
+  /** @param computeInertia when false, skip the final inertia
+    *   aggregation job and report `Double.NaN` — centroids, assignments
+    *   and the iteration count are bit-identical either way (the inertia
+    *   pass only READS the final assignment). Callers that discard
+    *   inertia (the IVF/PQ/semantic-join index builds, the kmeans bench
+    *   entry) save one job plus one forced cache materialization; their
+    *   first consumer of `assignments` computes the same single
+    *   assignment pass the inertia job would have run.
+    */
   def fit(
       spark: SparkSession,
       points: DataFrame,
       k: Int,
       iterations: Int,
       rangeSize: Long = DefaultRangeSize,
-      inertiaRelTol: Double = 0.0): Result = {
+      inertiaRelTol: Double = 0.0,
+      computeInertia: Boolean = true): Result = {
     val pts = points
       .select(col("id"), col("vec").cast("array<double>").as("vec"))
       .cache()
@@ -160,9 +170,12 @@ object KMeans {
 
     val centroids = centroidsDf().cache()
     val finalAssign = assign(centroids).select(col("id"), col("cid"), col("dist")).cache()
-    val inertia = finalAssign.agg(sum(col("dist"))).head().getDouble(0)
-    // finalAssign is materialized by the inertia pass — the input cache
-    // (the big one: every vector) can go; callers hold only the results
+    val inertia =
+      if (computeInertia) finalAssign.agg(sum(col("dist"))).head().getDouble(0)
+      else Double.NaN
+    // with inertia, finalAssign is materialized by that pass — the input
+    // cache (the big one: every vector) can go; without it, the caller's
+    // first action recomputes the one assignment pass from the source
     pts.unpersist()
     Result(centroids, finalAssign, inertia, it)
   }

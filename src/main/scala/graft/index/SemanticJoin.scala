@@ -165,75 +165,75 @@ object SemanticJoin {
           .as("dist"))
   }
 
-  /** Per-left top-M preference lists from scored (left_id, right_id,
+  /** Per-left top-M preference ARRAYS from scored (left_id, right_id,
     * dist) rows, via the bounded top-k aggregate (map-side partial →
-    * O(lefts·M) shuffle, never the scored rows).
+    * O(lefts·M) shuffle, never the scored rows). Best-first
+    * array<struct<score,id>> — index p is the p-th proposal.
     */
   private def prefsOf(scored: DataFrame, maxProposals: Int): DataFrame =
     scored
       .groupBy(col("left_id"))
       .agg(TopKAgg.least(col("dist"), col("right_id"), maxProposals).as("cands"))
-      .select(col("left_id"), posexplode(col("cands")).as(Seq("pos0", "c")))
-      .select(col("left_id"), (col("pos0") + 1).as("pos"),
-        col("c.id").as("right_id"), col("c.score").as("dist"))
 
   /** Batch-synchronous Gale–Shapley over the given preference lists.
     * Single state row per left: (pointer, engagement) — the identical
-    * encoding the SQL oracle's recursive CTE carries. One eager
-    * localCheckpoint per round truncates the iterative lineage (a
-    * cached-only loop accumulates a plan per round and recompute
-    * cascades blow the heap); one emptiness probe decides termination.
+    * encoding the SQL oracle's recursive CTE carries, plus the left's
+    * OWN bounded preference array riding in the row (≤ maxProposals
+    * structs): a proposal is an `element_at(cands, pos)` lookup instead
+    * of a per-round join against a preference table, so each round is
+    * ONE exchange (the per-right window) and ONE job — the lazy
+    * localCheckpoint is materialized by the same count that decides
+    * termination (a filter cannot prune an RDD-backed plan, so the count
+    * computes and persists every state row). Checkpointing per round
+    * still truncates the iterative lineage (a cached-only loop
+    * accumulates a plan per round and recompute cascades blow the heap).
     */
   private def gsRounds(
       spark: SparkSession,
       left: DataFrame,
       prefsIn: DataFrame): DataFrame = {
-    val prefs = prefsIn.cache()
-    prefs.count()
-
-    val prefsP = prefs.select(col("left_id"), col("pos"),
-      col("right_id").as("p_right"), col("dist").as("p_dist"))
-
-    // per-left list length, joined into the state ONCE: preference
-    // positions are contiguous 1..n (posexplode), so "this left can still
-    // propose" ≡ pos ≤ npos, and the termination probe becomes a filter
-    // over the checkpointed state — the former probe evaluated the full
-    // round join a second time every round just to see if it was empty
-    val npos = prefs.groupBy(col("left_id")).agg(max(col("pos")).as("npos"))
+    // positions are contiguous 1..size(cands) (best-first array), so
+    // "this left can still propose" ≡ pos ≤ npos; lefts with no scored
+    // candidates carry an empty array (npos = 0)
     var state = left.select(col("id").as("left_id"))
-      .join(npos, Seq("left_id"), "left")
-      .na.fill(0, Seq("npos"))
+      .join(prefsIn, Seq("left_id"), "left")
+      .withColumn("npos", coalesce(size(col("cands")), lit(0)))
       .withColumn("pos", lit(1))
       .withColumn("eng_right", lit(null).cast(LongType))
       .withColumn("eng_dist", lit(null).cast(DoubleType))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
-    var done = false
-    while (!done) {
-      if (state.where(col("eng_right").isNull && col("pos") <= col("npos")).isEmpty) {
-        done = true
-      } else {
-        // free lefts see their proposal at the pointer; engaged lefts keep
-        // their engagement as their only candidate (proposal masked off)
-        val joined = state.join(prefsP, Seq("left_id", "pos"), "left")
-          .select(col("left_id"), col("pos"), col("npos"), col("eng_right"), col("eng_dist"),
-            when(col("eng_right").isNull, col("p_right")).as("prop_right"),
-            when(col("eng_right").isNull, col("p_dist")).as("prop_dist"))
-        // per right keep min (dist, left_id) among proposals ∪ engagements
-        val wRight = Window.partitionBy(col("cand_right"))
-          .orderBy(asc("cand_dist"), asc("left_id"))
-        state = joined
-          .withColumn("cand_right", coalesce(col("eng_right"), col("prop_right")))
-          .withColumn("cand_dist", coalesce(col("eng_dist"), col("prop_dist")))
-          .withColumn("rnk", row_number().over(wRight))
-          .select(col("left_id"), col("npos"),
-            (col("pos") + when(col("prop_right").isNotNull, 1).otherwise(0)).as("pos"),
-            when(col("cand_right").isNotNull && col("rnk") === 1, col("cand_right")).as("eng_right"),
-            when(col("cand_right").isNotNull && col("rnk") === 1, col("cand_dist")).as("eng_dist"))
-          .localCheckpoint(true)
-      }
+    def proposers(): Long =
+      state.where(col("eng_right").isNull && col("pos") <= col("npos")).count()
+
+    var pending = proposers()
+    var rounds = 0
+    while (pending > 0) {
+      // free lefts see their proposal at the pointer; engaged lefts keep
+      // their engagement as their only candidate (proposal masked off)
+      val canProp = col("eng_right").isNull && col("pos") <= col("npos")
+      val joined = state
+        .select(col("left_id"), col("cands"), col("pos"), col("npos"),
+          col("eng_right"), col("eng_dist"),
+          when(canProp, element_at(col("cands"), col("pos"))("id")).as("prop_right"),
+          when(canProp, element_at(col("cands"), col("pos"))("score")).as("prop_dist"))
+      // per right keep min (dist, left_id) among proposals ∪ engagements
+      val wRight = Window.partitionBy(col("cand_right"))
+        .orderBy(asc("cand_dist"), asc("left_id"))
+      state = joined
+        .withColumn("cand_right", coalesce(col("eng_right"), col("prop_right")))
+        .withColumn("cand_dist", coalesce(col("eng_dist"), col("prop_dist")))
+        .withColumn("rnk", row_number().over(wRight))
+        .select(col("left_id"), col("cands"), col("npos"),
+          (col("pos") + when(col("prop_right").isNotNull, 1).otherwise(0)).as("pos"),
+          when(col("cand_right").isNotNull && col("rnk") === 1, col("cand_right")).as("eng_right"),
+          when(col("cand_right").isNotNull && col("rnk") === 1, col("cand_dist")).as("eng_dist"))
+        .localCheckpoint(false)
+      pending = proposers()
+      rounds += 1
+      if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
+        System.err.println(s"gsRounds round $rounds pending=$pending")
     }
-    prefs.unpersist()
     state.where(col("eng_right").isNotNull)
       .select(col("left_id"), col("eng_right").as("right_id"), col("eng_dist").as("dist"))
       .orderBy(col("left_id"))

@@ -370,13 +370,17 @@ object Dedup {
         .agg(min(col("lbl")).as("mid"), max(col("prev")).as("prev"))
         .localCheckpoint(true)
       // pointer jump: label(v) ← label(label(v)) over the materialized
-      // relaxed rows (labels are always vertex ids → the join is total)
+      // relaxed rows (labels are always vertex ids → the join is total).
+      // The checkpoint is LAZY and materialized by the change-count action
+      // below — one job per round instead of a checkpoint job plus a
+      // count job (the filter cannot prune an RDD-backed plan, so the
+      // count computes and persists every row of the round result).
       val next = relaxed.as("l")
         .join(relaxed.select(col("doc_id").as("gid"), col("mid").as("g2")),
           col("l.mid") === col("gid"))
         .select(col("l.doc_id").as("doc_id"), col("g2").as("group_id"),
           col("l.prev").as("prev"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val changed = next.where(col("group_id") =!= col("prev")).count()
       if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
         System.err.println(s"neardupGroups round $rounds changed=$changed")

@@ -589,7 +589,8 @@ object Similarity {
     if (!Files.exists(marker)) {
       val pts0 = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
       val pts = maxId.map(m => pts0.where(col("id") < m)).getOrElse(pts0)
-      val km = graft.index.KMeans.fit(spark, pts, k = nlist, iterations = IvfKmeansIters)
+      val km = graft.index.KMeans.fit(spark, pts, k = nlist,
+        iterations = IvfKmeansIters, computeInertia = false)
       // the two outputs are independent: write the (tiny) centroids on a
       // driver thread while the cell-partitioned assignments write runs
       val fc = graft.index.IndexBuilder.stagePool.submit(new Runnable {
@@ -906,7 +907,8 @@ object Similarity {
     */
   def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
     val pts = emb(spark, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-    graft.index.KMeans.fit(spark, pts, k = KmeansK, iterations = KmeansIters)
+    graft.index.KMeans.fit(spark, pts, k = KmeansK, iterations = KmeansIters,
+        computeInertia = false)
       .assignments
       // `+ 0.0`: l2sq cancellation can yield a tiny negative that rounds
       // to −0.0 in one engine only (same rule as clusterAssign)
@@ -1001,7 +1003,8 @@ object Similarity {
       Seq(1, 2).foreach { sub =>
         val from = if (sub == 1) 1 else PqSubDim + 1
         val fit = graft.index.KMeans.fit(spark,
-          e.select(col("id"), slice(col("v"), from, PqSubDim).as("vec")), PqK, PqIters)
+          e.select(col("id"), slice(col("v"), from, PqSubDim).as("vec")), PqK, PqIters,
+          computeInertia = false)
         fit.centroids.write.mode("overwrite").parquet(s"$root/centroids$sub")
         fit.assignments.select(col("id"), col("cid"))
           .write.mode("overwrite").partitionBy("cid").parquet(s"$root/codes$sub")
@@ -1480,7 +1483,8 @@ object Similarity {
     if (!Files.exists(marker)) {
       val rightPts = emb(spark, dir).where(col("vec_id") % 2 === 1)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val km = graft.index.KMeans.fit(spark, rightPts, k = nlist, iterations = iters)
+      val km = graft.index.KMeans.fit(spark, rightPts, k = nlist, iterations = iters,
+        computeInertia = false)
       km.centroids.write.mode("overwrite").parquet(s"$root/centroids")
       km.assignments.select(col("cid"), col("id"))
         .write.mode("overwrite").parquet(s"$root/assignments")

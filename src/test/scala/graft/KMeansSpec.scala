@@ -73,6 +73,23 @@ class KMeansSpec extends SparkSpec {
     assert(i3 <= i1 + 1e-9)
   }
 
+  test("computeInertia=false skips only the inertia job; results are identical") {
+    val pts = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
+    val withI = KMeans.fit(spark, pts, k = 4, iterations = 2)
+    val noI = KMeans.fit(spark, pts, k = 4, iterations = 2, computeInertia = false)
+    assert(noI.inertia.isNaN)
+    assert(noI.iterations == withI.iterations)
+    val a1 = withI.assignments.select($"id", $"cid", $"dist")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val a2 = noI.assignments.select($"id", $"cid", $"dist")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a1 == a2)
+    val c1 = withI.centroids.as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    val c2 = noI.centroids.as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(c1 == c2)
+  }
+
   test("inertia early exit stops deterministically and matches the fixed-iteration run") {
     val pts = spark.read.parquet(s"$dir/embeddings.parquet")
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
