@@ -89,23 +89,29 @@ object BatchCluster {
       e.where(col("vec_id") % lit(1L << level) === 0)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
 
-    // level refinement: dive a layer deeper while too few unique clusters
+    // level refinement: dive a layer deeper while too few unique clusters.
+    // The per-level probe collects the (centroid, pop) table directly —
+    // its row count IS the unique-cluster count, and the final level's
+    // table seeds the merge loop below, so the former separate distinct-
+    // count job per level (plus one more groupBy job after the loop) is
+    // gone. Rows are bounded by the centroid count either way.
     var level = if (startLevel > 0) startLevel else autoLevel(e.count())
+    def popsOf(a: DataFrame): Array[(Long, Long)] =
+      a.groupBy(col("centroid")).agg(count(lit(1)).as("pop"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
     var assigned = assignTo(e, centroidsAt(level))
-    var uniq = assigned.select(col("centroid")).distinct().count()
-    while (uniq < minClusters && level > 1) {
+    var pops = popsOf(assigned)
+    while (pops.length < minClusters && level > 1) {
       level -= 1
       assigned = assignTo(e, centroidsAt(level))
-      uniq = assigned.select(col("centroid")).distinct().count()
+      pops = popsOf(assigned)
     }
     assigned = assigned.cache()
 
     // merge-smallest loop on the driver: rows bounded by the centroid
     // count (one long + one vector each), not the corpus
     val popByCid = scala.collection.mutable.LinkedHashMap(
-      assigned.groupBy(col("centroid")).agg(count(lit(1)).as("pop"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1))
-        .sortBy(_._1): _*)
+      pops.sortBy(_._1): _*)
     val vecByCid: Map[Long, Array[Double]] = centroidsAt(level)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
     def cdist(a: Array[Double], b: Array[Double]): Double = {

@@ -20,10 +20,18 @@ import graft.analyze.Tokenizer
 object Dedup {
 
   // spread the (few-file, single-row-group) corpus scan before the
-  // shingle/signature passes — see TextAnalysis.docs for the rationale
-  private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
+  // shingle/signature passes — see TextAnalysis.docs for the rationale.
+  // `spread = false` for consumers whose per-row map work is trivial
+  // (an md5) and whose first real operation is its own exchange: there
+  // the spread is a second shuffle that buys nothing (same A/B-backed
+  // rule as Relational.t).
+  private def docs(spark: SparkSession, dir: String,
+      spread: Boolean = true): DataFrame = {
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+    if (spread)
+      df.repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
+    else df
+  }
 
   /** Portable 32-bit hash: md5 → first 8 hex → bigint. */
   def hash32(c: Column): Column =
@@ -122,7 +130,7 @@ object Dedup {
     * /root/reference/include/usearch/index_dense.hpp:2007-2008).
     */
   def exact(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    docs(spark, dir, spread = false)
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("rep_doc_id"))
       .orderBy(col("text_md5"))
@@ -470,7 +478,7 @@ object Dedup {
     * distinct-md5 count regroups exactly like [[exactDedup]]'s key.
     */
   def shrinkage(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    docs(spark, dir, spread = false)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("docs_total"),
         countDistinct(md5(col("text"))).as("docs_unique"))

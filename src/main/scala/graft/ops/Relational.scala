@@ -23,12 +23,22 @@ object Relational {
   private val spreadKey = Map(
     "lineitem" -> "l_orderkey", "orders" -> "o_orderkey", "events" -> "event_id")
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** `spread = false` opts a query out of the post-read repartition:
+    * for plans whose FIRST operation is their own key-partitioned
+    * exchange (a window or a groupBy) with only trivial per-row work
+    * before it, the spread is a second exchange that buys nothing — the
+    * shuffle write of the raw rows from the few scan tasks is the same
+    * bytes the spread itself would move (A/B'd: q_sessionize and the
+    * other window/rollup shapes run one exchange shorter; q1/q3 keep the
+    * spread for their decimal-heavy map sides and join builds).
+    */
+  private def t(spark: SparkSession, dir: String, name: String,
+      spread: Boolean = true): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     spreadKey.get(name) match {
-      case Some(k) =>
+      case Some(k) if spread =>
         df.repartition(spark.sessionState.conf.numShufflePartitions, col(k))
-      case None => df
+      case _ => df
     }
   }
 
@@ -96,7 +106,7 @@ object Relational {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(desc("o_totalprice"), asc("o_orderkey"))
-    t(spark, dir, "orders")
+    t(spark, dir, "orders", spread = false)
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 2)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
@@ -115,7 +125,7 @@ object Relational {
     * windowed agg; Structured Streaming uses the same expressions).
     */
   def qEventsDaily(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
+    t(spark, dir, "events", spread = false)
       .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("day"))
       .agg(
         count(lit(1)).as("n"),
@@ -154,7 +164,7 @@ object Relational {
     // ts is TIMESTAMP_NTZ in the parquet; the session tz is pinned UTC in
     // every entry point, so cast→unix_micros yields the same integer
     // micros DuckDB's epoch_us reads off the naive value
-    t(spark, dir, "events")
+    t(spark, dir, "events", spread = false)
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts").cast("timestamp")).as("us"))
       .withColumn("prev_us", lag(col("us"), 1).over(w))
@@ -199,7 +209,7 @@ object Relational {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(spark, dir, "events")
+    t(spark, dir, "events", spread = false)
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts").cast("timestamp")).as("us"))
       .withColumn("last_signup_us",

@@ -19,9 +19,16 @@ object TextAnalysis {
   // doc_id (deterministic hash, no sort-before-repartition), width from
   // the session's shuffle-partition config (scale-adaptive, not a local
   // constant); the shuffled bytes are only the raw text rows
-  private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
+  // `spread = false` opts out for consumers with trivial per-row map
+  // work whose first real operation is its own exchange (same rule as
+  // Relational.t — the spread would be a second shuffle buying nothing)
+  private def docs(spark: SparkSession, dir: String,
+      spread: Boolean = true): DataFrame = {
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+    if (spread)
+      df.repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
+    else df
+  }
 
   final val Stopwords = Seq("the", "a", "of", "to", "and", "in")
   private val stopwordsSqlList = Stopwords.map(s => s"'$s'").mkString(", ")
@@ -391,7 +398,7 @@ object TextAnalysis {
     */
   def sampleStratified(spark: SparkSession, dir: String,
       enBp: Long = 5000L, otherBp: Long = 2000L): DataFrame =
-    docs(spark, dir)
+    docs(spark, dir, spread = false)
       .select(col("doc_id"), col("lang"), (Dedup.hash32(col("text")) % 10000L).as("h"))
       .where(col("h") < when(col("lang") === "en", enBp).otherwise(otherBp))
       .select(col("doc_id"), col("lang"))
