@@ -21,10 +21,17 @@ object Fulltext {
   final val K = 10
 
   // spread the (few-file, single-row-group) corpus scan before the
-  // tokenize-heavy consumers — see TextAnalysis.docs for the rationale
+  // tokenize-heavy consumers — see TextAnalysis.docs for the rationale.
+  // Index builds take the RAW read instead ([[rawDocs]]): IndexBuilder
+  // spreads internally (adjacent repartitions would collapse anyway) and
+  // its corpus-cardinality count over the raw scan stays a metadata-only
+  // job, where a count over the spread frame pays a full scan + exchange.
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    rawDocs(spark, dir)
       .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
+
+  private def rawDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
 
   /** Construct per-query frames on driver threads, then union. The
     * multi-query entries pay 1-3 driver-side planning jobs PER query
@@ -189,7 +196,7 @@ object Fulltext {
   def indexFor(spark: SparkSession, dir: String, cacheHot: Boolean = false): Searcher = {
     val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
     val root = s"${sys.props("java.io.tmpdir")}/graft-index-$key"
-    IndexBuilder.build(spark, docs(spark, dir), root, idCol = "doc_id", textCol = "text")
+    IndexBuilder.build(spark, rawDocs(spark, dir), root, idCol = "doc_id", textCol = "text")
     new Searcher(spark, root, cacheHot)
   }
 
@@ -202,7 +209,7 @@ object Fulltext {
     */
   def positionalIndexFor(spark: SparkSession, dir: String): Searcher = {
     val s = indexFor(spark, dir)
-    IndexBuilder.buildPositions(spark, docs(spark, dir), indexRoot(dir),
+    IndexBuilder.buildPositions(spark, rawDocs(spark, dir), indexRoot(dir),
       idCol = "doc_id", textCol = "text")
     s
   }
@@ -224,7 +231,7 @@ object Fulltext {
   private def genBuild(spark: SparkSession, dir: String, root: String,
       parity: Int, fixedBucketSize: Long = 0L): Unit = {
     if (IndexBuilder.fullyCommitted(root)) return
-    val half = docs(spark, dir).where(col("doc_id") % 2 === parity)
+    val half = rawDocs(spark, dir).where(col("doc_id") % 2 === parity)
     val main = indexRoot(dir)
     if (java.nio.file.Files.exists(
         IndexBuilder.Layout(main).statusFile("tokens"))) {

@@ -812,7 +812,9 @@ object TextAnalysis {
     * the one driver scalar.
     */
   def rarity(spark: SparkSession, dir: String): DataFrame = {
-    val nDocs = docs(spark, dir).count()
+    // raw-scan count: metadata-only parquet job (the spread frame would
+    // pay a full scan + exchange just to count rows)
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
     // the (doc, term, tf) partial-agg is the compact shared intermediate
     // (EAGERLY materialized): the df branch and the join-back both read
     // it — each previously re-ran the corpus tokenize + explode — and it
