@@ -193,16 +193,23 @@ object IndexBuilder {
     val maxDocId = scalars.getLong(0)
     val totalTokens = scalars.getLong(1)
     val avgdl = totalTokens.toDouble / nDocs.toDouble
-    // bucket ids must fit an Int: bucket = docId / bucketSize is
+    // bucket ids must fit an Int: bucket = docId div bucketSize is
     // computed as a saturating SQL cast here but a WRAPPING .toInt in
     // the searcher — past Int.Max the two silently disagree. 2³¹
     // buckets × the default 2²⁰ width covers 2⁵¹ ≈ 2.3·10¹⁵ docs; the
     // realistic trip is a SMALL fixedBucketSize on a generation at a
     // large id offset (late in a 10¹²-doc streamed ingest) — pin a
     // larger shared width instead. Footer-stats max: cheap per build.
+    // NOTE on remediation: by this point stage 1 has committed 'tokens'
+    // and geometry.properties, and a rebuild at the same root reuses the
+    // PERSISTED bucketSize (anyCommitted resume) — a new fixedBucketSize
+    // at the same path is ignored, so the root must be deleted (or a new
+    // root chosen) before rebuilding with the larger width.
     require(maxDocId / bucketSize <= Int.MaxValue.toLong,
       s"bucket id overflow: max doc_id $maxDocId at bucketSize $bucketSize " +
-        "exceeds Int range — pin a larger fixedBucketSize for this id range")
+        "exceeds Int range — delete this index root (its committed " +
+        "geometry pins the current width) and rebuild with a larger " +
+        "fixedBucketSize for this id range")
 
     // ---- stages 2 and 3 OVERLAP: doclens and segments both derive from
     // the persisted tf table and are independent of each other, so the
@@ -221,7 +228,7 @@ object IndexBuilder {
           // struct array_sort orders by the unique doc_id, reproducing
           // the former sortBy exactly
           tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-            .withColumn("bucket", (col("doc_id") / bucketSize).cast("int"))
+            .withColumn("bucket", expr(s"cast(doc_id div ${bucketSize}L as int)"))
             .groupBy($"bucket")
             .agg(array_sort(collect_list(struct($"doc_id", $"dl"))).as("p"))
             .select($"bucket",
@@ -250,7 +257,7 @@ object IndexBuilder {
       // dl via window over the doc_id shuffle — no second pass / join
       val wDoc = Window.partitionBy(col("doc_id"))
       tf.withColumn("dl", sum(col("tf")).over(wDoc))
-        .withColumn("bucket", (col("doc_id") / bucketSize).cast("int"))
+        .withColumn("bucket", expr(s"cast(doc_id div ${bucketSize}L as int)"))
         .select($"term", $"bucket", $"doc_id", $"tf", $"dl")
         .repartition(
           math.max(buckets, spark.sessionState.conf.numShufflePartitions),
@@ -365,7 +372,7 @@ object IndexBuilder {
       .repartition(spark.sessionState.conf.numShufflePartitions, col(idCol))
       .select(col(idCol).as("doc_id"),
         posexplode(Tokenizer.tokensCol(col(textCol))).as(Seq("pos", "term")))
-      .withColumn("bucket", (col("doc_id") / bucketSize).cast("int"))
+      .withColumn("bucket", expr(s"cast(doc_id div ${bucketSize}L as int)"))
       .select($"term", $"bucket", $"doc_id", $"pos")
       .repartition(nPart, col("bucket"), pmod(hash(col("term")),
         lit(math.max(1, spark.sessionState.conf.numShufflePartitions / buckets))))
