@@ -22,6 +22,13 @@ object TextAnalysis {
   // `spread = false` opts out for consumers with trivial per-row map
   // work whose first real operation is its own exchange (same rule as
   // Relational.t — the spread would be a second shuffle buying nothing)
+  // AND for the per-doc single-aggregate entries (tokcount/quality/
+  // langid/fingerprint/pack/blocklist/string-distance pairs): the A-B-A
+  // noop measurement (OPTIMIZATION_r06.md) showed the text exchange
+  // costs more than the one-task map it parallelizes at bench scale,
+  // and at corpus scale the multi-file scan is already parallel — the
+  // spread earns its exchange only on the multiplicative passes (gram/
+  // shingle explodes, signatures) where per-row work dominates
   private def docs(spark: SparkSession, dir: String,
       spread: Boolean = true): DataFrame = {
     val df = spark.read.parquet(s"$dir/documents.parquet")
@@ -35,7 +42,7 @@ object TextAnalysis {
 
   /** Token statistics per doc: total and unique token counts. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    docs(spark, dir, spread = false)
       .select(col("doc_id"), explode(Tokenizer.tokensCol(col("text"))).as("term"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), countDistinct(col("term")).as("n_unique"))
@@ -53,7 +60,7 @@ object TextAnalysis {
     * boundaries, which ratios of small integers hit routinely.
     */
   def quality(spark: SparkSession, dir: String): DataFrame =
-    qualityOf(docs(spark, dir))
+    qualityOf(docs(spark, dir, spread = false))
 
   /** [[quality]] over an arbitrary documents frame — per-doc arithmetic,
     * so restricting the input restricts the output rows and changes no
@@ -151,7 +158,7 @@ object TextAnalysis {
     * the deterministic distributed pipeline, not linguistic accuracy.)
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val tok = docs(spark, dir)
+    val tok = docs(spark, dir, spread = false)
       .select(col("doc_id"), explode(Tokenizer.tokensCol(col("text"))).as("term"))
     tok.groupBy(col("doc_id"))
       .agg(
@@ -180,7 +187,7 @@ object TextAnalysis {
     * classic edit distance is builtin in both engines.
     */
   def levenshteinPairs(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    val d = docs(spark, dir, spread = false)
     val a = d.where(col("doc_id") < 50)
       .select(col("doc_id").as("left_id"), col("source").as("sa"))
     val b = d.select(col("doc_id").as("right_id"), col("source").as("sb"))
@@ -202,7 +209,7 @@ object TextAnalysis {
     */
   def levenshteinBoundedPairs(spark: SparkSession, dir: String,
       bound: Int = 20): DataFrame = {
-    val d = docs(spark, dir)
+    val d = docs(spark, dir, spread = false)
     val a = d.where(col("doc_id") < 50)
       .select(col("doc_id").as("left_id"), col("source").as("sa"))
     val b = d.select(col("doc_id").as("right_id"), col("source").as("sb"))
@@ -225,7 +232,7 @@ object TextAnalysis {
     * Pure builtins: per-char zip_with + filter + size.
     */
   def hammingStrPairs(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select(col("doc_id"), md5(col("text")).as("fp"))
+    val d = docs(spark, dir, spread = false).select(col("doc_id"), md5(col("text")).as("fp"))
     val a = d.where(col("doc_id") < 50)
       .select(col("doc_id").as("left_id"), col("fp").as("fa"))
     val b = d.select(col("doc_id").as("right_id"), col("fp").as("fb"))
@@ -253,7 +260,7 @@ object TextAnalysis {
     * ([[levenshteinPairs]]) wherever the 'a' counts differ.
     */
   def levenshteinBytesPairs(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    val d = docs(spark, dir, spread = false)
       .select(col("doc_id"), translate(col("source"), "a", "ä").as("s"))
     val a = d.where(col("doc_id") < 50)
       .select(col("doc_id").as("left_id"), col("s").as("sa"))
@@ -278,7 +285,7 @@ object TextAnalysis {
     */
   def hammingBytesPairs(spark: SparkSession, dir: String): DataFrame = {
     val wide = translate(md5(col("text")), "0123456789abcdef", "абвгдежзαβγδεζηθ")
-    val d = docs(spark, dir).select(col("doc_id"), wide.as("fp"))
+    val d = docs(spark, dir, spread = false).select(col("doc_id"), wide.as("fp"))
     val a = d.where(col("doc_id") < 50)
       .select(col("doc_id").as("left_id"), col("fp").as("fa"))
     val b = d.select(col("doc_id").as("right_id"), col("fp").as("fb"))
@@ -308,7 +315,7 @@ object TextAnalysis {
     */
   def stringKnn(spark: SparkSession, dir: String, k: Int = 10,
       queryDocId: Long = 0L): DataFrame = {
-    val d = docs(spark, dir)
+    val d = docs(spark, dir, spread = false)
     val q = broadcast(d.where(col("doc_id") === queryDocId)
       .select(col("source").as("qs")))
     d.crossJoin(q)
@@ -329,7 +336,7 @@ object TextAnalysis {
     * insensitive, unlike the raw-content sha256 integrity column).
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    docs(spark, dir, spread = false)
       .select(col("doc_id"),
         md5(array_join(Tokenizer.tokensCol(col("text")), " ")).as("fingerprint"))
       .orderBy(col("doc_id"))
@@ -618,7 +625,7 @@ object TextAnalysis {
 
   def blocklist(spark: SparkSession, dir: String,
       thresholdBp: Long = 500L): DataFrame =
-    blocklistOn(docs(spark, dir), thresholdBp).orderBy(col("doc_id"))
+    blocklistOn(docs(spark, dir, spread = false), thresholdBp).orderBy(col("doc_id"))
 
   def blocklistSql(thresholdBp: Long = 500L): String =
     s"""WITH b AS (SELECT doc_id, ${Tokenizer.duckdbTokensSql("text")} AS toks FROM documents)
@@ -772,7 +779,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs(spark, dir)
+    docs(spark, dir, spread = false)
       .select(col("doc_id"),
         size(Tokenizer.tokensCol(col("text"))).cast("long").as("n_tokens"))
       .withColumn("shard", expr(s"doc_id div $PackShardSpan"))
