@@ -239,7 +239,15 @@ object IndexBuilder {
         }
       })
     def awaitDoclens(): Unit =
-      if (doclensFuture != null) doclensFuture.get()
+      if (doclensFuture != null) {
+        try doclensFuture.get()
+        catch {
+          // surface the doclens job's ORIGINAL exception, matching the
+          // sequential shape this overlap replaced
+          case e: java.util.concurrent.ExecutionException if e.getCause != null =>
+            throw e.getCause
+        }
+      }
 
     // ---- stage 3: posting segments, bucketed + block-encoded ------------
     try {
@@ -306,16 +314,46 @@ object IndexBuilder {
         totalPostings, bucketSize, buckets))
       commit("dict", nTerms, t0)
     }
-    } finally {
-      // join the doclens thread before returning (or before propagating a
-      // segments/dict failure) — a failed doclens job rethrows here and
-      // its commit marker is never written, same as the sequential shape
-      awaitDoclens()
+    } catch {
+      // join the doclens thread before propagating a segments/dict
+      // failure, WITHOUT letting a concurrent doclens failure mask the
+      // primary error (the first failure keeps its stack trace; a
+      // second failure rides along as suppressed)
+      case primary: Throwable =>
+        try awaitDoclens()
+        catch {
+          case secondary: Throwable if secondary ne primary =>
+            primary.addSuppressed(secondary)
+        }
+        throw primary
     }
+    // success path: a failed doclens job rethrows here and its commit
+    // marker is never written, same as the sequential shape
+    awaitDoclens()
     // lineage + metrics (Iceberg-style JSON metadata, driver-side)
     if (manifests.nonEmpty) Meta.appendManifest(root, manifests.toSeq)
     Meta.readStats(root)
   }
+
+  /** Submit thunks to [[stagePool]] and await them in input order,
+    * rethrowing a failed thunk's ORIGINAL exception instead of the
+    * pool's ExecutionException wrapper — concurrent callers keep the
+    * exact error contract of the sequential map they replaced (e.g. a
+    * missing-positions-sidecar require must still surface as
+    * IllegalArgumentException with its remediation message).
+    */
+  private[graft] def awaitAll[T](fs: Seq[() => T]): Seq[T] =
+    fs.map { f =>
+      stagePool.submit(new java.util.concurrent.Callable[T] {
+        override def call(): T = f()
+      })
+    }.map { fu =>
+      try fu.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException if e.getCause != null =>
+          throw e.getCause
+      }
+    }
 
   /** Shared pool for the overlapped build stage (daemon threads — a
     * crashed driver must not hang on pool shutdown). Concurrent builds

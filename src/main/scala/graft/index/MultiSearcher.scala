@@ -32,10 +32,7 @@ final class MultiSearcher(spark: SparkSession, roots: Seq[String]) {
     * order-preserved, hence identical to the sequential map).
     */
   private def perShard[T](fs: Seq[() => T]): Seq[T] =
-    fs.map { f =>
-      IndexBuilder.stagePool.submit(
-        new java.util.concurrent.Callable[T] { override def call(): T = f() })
-    }.map(_.get())
+    IndexBuilder.awaitAll(fs)
 
   val nDocs: Long = searchers.map(_.stats.nDocs).sum
   private val totalTokens: Long = searchers.map(_.stats.totalTokens).sum

@@ -396,7 +396,9 @@ object Dedup {
       converged = changed == 0L
     }
     edges.unpersist()
-    docs(spark, dir).select(col("doc_id"))
+    // unspread: the re-attach reads doc_id only and the join is its own
+    // first exchange — the spread would be a wasted full-corpus shuffle
+    docs(spark, dir, spread = false).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("group_id"), col("doc_id")).as("group_id"))

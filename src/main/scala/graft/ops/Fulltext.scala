@@ -42,15 +42,8 @@ object Fulltext {
     * Results are identical: each branch is the same single-query frame,
     * and union order follows the input sequence.
     */
-  private def parUnionAll(parts: Seq[() => DataFrame]): DataFrame = {
-    val futs = parts.map { p =>
-      graft.index.IndexBuilder.stagePool.submit(
-        new java.util.concurrent.Callable[DataFrame] {
-          override def call(): DataFrame = p()
-        })
-    }
-    futs.map(_.get()).reduce(_ unionAll _)
-  }
+  private def parUnionAll(parts: Seq[() => DataFrame]): DataFrame =
+    graft.index.IndexBuilder.awaitAll(parts).reduce(_ unionAll _)
 
   /** (doc_id, term, tf) — the tokenize→explode→agg stage. */
   def tfTable(spark: SparkSession, dir: String): DataFrame =
@@ -1481,7 +1474,6 @@ object Fulltext {
   def engLevelsStats(spark: SparkSession, dir: String): DataFrame = {
     val key = dir.replaceAll("[^a-zA-Z0-9.]", "_")
     val tmp = sys.props("java.io.tmpdir")
-    val d = docs(spark, dir)
     parUnionAll(Seq(0, 1).map { g =>
       () => {
         val root = s"$tmp/graft-lvl-$g-$key"

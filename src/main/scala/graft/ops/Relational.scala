@@ -18,10 +18,12 @@ object Relational {
     * map sides) is not serialized through one scan task; dims stay
     * unrepartitioned (they broadcast). Keys are the tables' primary
     * ids — deterministic hash partitioning, width from the session's
-    * shuffle-partition config.
+    * shuffle-partition config. events carries no mapping: every events
+    * query's first real op is its own window/groupBy exchange, so the
+    * spread never pays there (the retracted-spread A/B).
     */
   private val spreadKey = Map(
-    "lineitem" -> "l_orderkey", "orders" -> "o_orderkey", "events" -> "event_id")
+    "lineitem" -> "l_orderkey", "orders" -> "o_orderkey")
 
   /** `spread = false` opts a query out of the post-read repartition:
     * for plans whose FIRST operation is their own key-partitioned
@@ -125,7 +127,7 @@ object Relational {
     * windowed agg; Structured Streaming uses the same expressions).
     */
   def qEventsDaily(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events", spread = false)
+    t(spark, dir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("day"))
       .agg(
         count(lit(1)).as("n"),
@@ -164,7 +166,7 @@ object Relational {
     // ts is TIMESTAMP_NTZ in the parquet; the session tz is pinned UTC in
     // every entry point, so cast→unix_micros yields the same integer
     // micros DuckDB's epoch_us reads off the naive value
-    t(spark, dir, "events", spread = false)
+    t(spark, dir, "events")
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts").cast("timestamp")).as("us"))
       .withColumn("prev_us", lag(col("us"), 1).over(w))
@@ -209,7 +211,7 @@ object Relational {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(spark, dir, "events", spread = false)
+    t(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts").cast("timestamp")).as("us"))
       .withColumn("last_signup_us",
